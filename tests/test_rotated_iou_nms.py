@@ -222,10 +222,14 @@ class TestBoxCoder:
                 enc = encode_boxes(
                     jnp.array(boxes), jnp.array(anchors), vec, smooth
                 )
-                dec = decode_boxes(enc, jnp.array(anchors), vec, smooth)
+                dec = np.asarray(decode_boxes(enc, jnp.array(anchors), vec, smooth))
                 np.testing.assert_allclose(
-                    np.asarray(dec), boxes, rtol=1e-4, atol=1e-3
+                    dec[:, :6], boxes[:, :6], rtol=1e-4, atol=1e-3
                 )
+                # Vector angle encoding wraps yaw into [-pi, pi]; compare on
+                # the circle.
+                ang_err = np.abs(np.angle(np.exp(1j * (dec[:, 6] - boxes[:, 6]))))
+                assert np.max(ang_err) < 1e-3
 
     def test_limit_period(self):
         vals = jnp.array([0.0, np.pi, -np.pi, 3 * np.pi / 2, 2 * np.pi])
