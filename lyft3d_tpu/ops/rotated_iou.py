@@ -46,7 +46,7 @@ def _clip_halfplane(verts, count, a, b):
     side = d[0] * rel[:, 1] - d[1] * rel[:, 0]  # >0 = inside (left of a→b)
 
     idx = jnp.arange(k)
-    nxt = jnp.where(idx == count - 1, 0, idx + 1)
+    nxt = jnp.where(idx >= count - 1, 0, idx + 1)
     e = verts[nxt]
     s_side = side
     e_side = side[nxt]
@@ -74,7 +74,7 @@ def _polygon_area(verts, count):
     """Shoelace area of the first ``count`` vertices of a padded buffer."""
     k = verts.shape[0]
     idx = jnp.arange(k)
-    nxt = jnp.where(idx == count - 1, 0, idx + 1)
+    nxt = jnp.where(idx >= count - 1, 0, idx + 1)
     v2 = verts[nxt]
     cross = verts[:, 0] * v2[:, 1] - verts[:, 1] * v2[:, 0]
     return 0.5 * jnp.abs(jnp.sum(jnp.where(idx < count, cross, 0.0)))
