@@ -80,6 +80,27 @@ def quat_from_yaw(yaw: float) -> np.ndarray:
     return quat_from_axis_angle(np.array([0.0, 0.0, 1.0]), yaw)
 
 
+def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Spherical linear interpolation between two unit quaternions.
+
+    Used for interpolating box orientations at non-keyframe timestamps
+    (capability of pyquaternion's ``Quaternion.slerp`` used by the reference's
+    ``LyftDataset.get_boxes``, lyftdataset.py:372).
+    """
+    q0 = quat_normalize(q0)
+    q1 = quat_normalize(q1)
+    dot = float(np.dot(q0, q1))
+    if dot < 0.0:  # take the short arc
+        q1 = -q1
+        dot = -dot
+    if dot > 0.9995:  # nearly parallel: lerp + renormalize
+        return quat_normalize(q0 + t * (q1 - q0))
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    s0 = np.sin((1.0 - t) * theta) / np.sin(theta)
+    s1 = np.sin(t * theta) / np.sin(theta)
+    return quat_normalize(s0 * q0 + s1 * q1)
+
+
 def quaternion_yaw(q: np.ndarray) -> float:
     """Yaw (rotation about +z) encoded in ``q``, in ``[-pi, pi]``.
 
