@@ -19,6 +19,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: model-compile-heavy tests are ~8 minutes cold
+# on this 1-core host, seconds warm.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} "
     f"({jax.devices()[0].platform})"

@@ -1,0 +1,86 @@
+"""Model-family shape/jit smoke tests (tiny inputs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lyft3d_tpu.models import build_model, list_models
+
+
+def _forward(name, in_ch=6, hw=32, n_classes=10):
+    model = build_model(name, n_classes=n_classes, dtype=jnp.float32)
+    x = jnp.zeros((1, hw, hw, in_ch), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    logits, aux = jax.jit(model.apply)(params, x)
+    return logits, aux, params
+
+
+class TestUNets:
+    def test_reference_unet_shapes(self):
+        logits, aux, _ = _forward("unet_reference", in_ch=3, hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+        assert aux.shape == (1, 10)
+
+    def test_seresnext50_unet_shapes(self):
+        logits, aux, _ = _forward("unet_seresnext50", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+        assert aux.shape == (1, 10)
+
+    def test_resnet34_unet_shapes(self):
+        logits, aux, _ = _forward("unet_resnet34", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+
+    def test_nondivisible_input(self):
+        # 336 = 16 * 21: /32 stage is 10.5 → rounding; decoder must resize.
+        logits, _, _ = _forward("unet_resnet18", hw=56)
+        assert logits.shape == (1, 56, 56, 10)
+
+    def test_six_channel_input(self):
+        logits, _, _ = _forward("unet_seresnext26", in_ch=6, hw=32)
+        assert logits.shape[-1] == 10
+
+    def test_registry_lists_families(self):
+        names = list_models()
+        for expected in (
+            "unet_reference",
+            "unet_seresnext101",
+            "unet_dpn68",
+            "unet_efficientnet_b5",
+            "deeplab_seresnext50",
+            "efficientnet_b3_unet",
+        ):
+            assert expected in names
+
+
+class TestDeepLab:
+    def test_deeplab_shapes(self):
+        logits, aux, _ = _forward("deeplab_seresnext50", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+        assert aux.shape == (1, 10)
+
+    def test_efficientnet_unet_shapes(self):
+        logits, aux, _ = _forward("efficientnet_b3_unet", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+
+    def test_dpn_unet_shapes(self):
+        logits, _, _ = _forward("unet_dpn68", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+
+
+class TestGradients:
+    def test_unet_grad_flows(self):
+        model = build_model("unet_reference", n_classes=4, wf=3, depth=2, dtype=jnp.float32)
+        x = jnp.ones((2, 16, 16, 3), jnp.float32)
+        y = jnp.zeros((2, 16, 16), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, y[..., None], axis=-1))
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
