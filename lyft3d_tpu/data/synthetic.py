@@ -145,23 +145,26 @@ def make_synthetic_lyft(
             }
         )
 
-        # Persistent objects for this scene (tracked instances).
+        # Persistent objects for this scene (tracked instances), placed on a
+        # jittered grid so boxes never overlap (keeps oracle round-trip tests
+        # exact; real data overlap behavior is exercised separately).
         scene_objs = []
+        slot_cols = 4
         for b in range(boxes_per_sample):
             name = classes[rng.randint(len(classes))]
             w, l, h = _CLASS_WLH.get(name, (1.0, 2.0, 1.5))
+            # 20 m x 14 m slots near the road band (map center ~y=128 m at
+            # 0.5 m/px, 512 px → world 0..256).
+            sx = 34.0 + 20.0 * (b % slot_cols) + rng.uniform(-2, 2)
+            sy = 114.0 + 14.0 * (b // slot_cols) + rng.uniform(-2, 2)
             scene_objs.append(
                 {
                     "instance_token": _tok("inst", inst_counter),
                     "name": name,
                     "wlh": (w, l, h),
-                    # World position near the road band (map center ~y=128 m
-                    # at 0.5 m/px, 512 px → world 0..256).
-                    "xy": np.array(
-                        [40.0 + rng.uniform(0, 40), 122.0 + rng.uniform(-8, 8)]
-                    ),
+                    "xy": np.array([sx, sy]),
                     "yaw": rng.uniform(-np.pi, np.pi),
-                    "vel": rng.uniform(-3, 3, size=2),
+                    "vel": rng.uniform(-1.5, 1.5, size=2),
                 }
             )
             tables["instance"].append(

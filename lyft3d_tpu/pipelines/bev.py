@@ -1,0 +1,169 @@
+"""BEV segmentation pipeline: lidar → raster → model → boxes → world → CSV.
+
+Capability of the reference's inference scripts
+(``unet_baseline/unet-inference-with-map.py`` full chain: ensemble softmax
+averaging :610-617, bg-threshold + opening :620-626, box extraction
+:326-355, world-frame boxing :644-727, CSV :730-757) — except the whole
+per-sample compute graph (rasterization → convnet → softmax → component
+extraction) is ONE jitted device program; the host only does table lookups
+and the final world-frame affine.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyft3d_tpu.core.quaternion import quat_from_yaw
+from lyft3d_tpu.data.bev_pipeline import (
+    BEV_CLASSES,
+    BEVConfig,
+    BEVSampleGenerator,
+    CLASS_HEIGHTS,
+)
+from lyft3d_tpu.data.lyftdb import LyftDB
+from lyft3d_tpu.ops.bev_raster import bev_rasterize, normalize_bev
+from lyft3d_tpu.ops.mask_to_boxes import extract_detections
+
+
+def make_bev_input(points, valid, map_channel, cfg: BEVConfig, backend: str = "auto"):
+    """Device fn: padded points + map → (H, W, 6) normalized model input."""
+    counts = bev_rasterize(
+        points, valid, cfg.shape, cfg.voxel_size, cfg.z_offset, backend=backend
+    )
+    lidar = normalize_bev(counts)
+    map3 = jnp.repeat(map_channel[..., None], 3, axis=-1)
+    return jnp.concatenate([lidar, map3], axis=-1)
+
+
+def make_infer_fn(
+    models_and_params: Sequence[Tuple[object, dict]],
+    cfg: BEVConfig,
+    max_components: int = 64,
+    bg_threshold: float = 80.0 / 255.0,
+    class_score_threshold: float = 0.01,
+    backend: str = "auto",
+) -> Callable:
+    """Build the jitted sample → detections device program.
+
+    ``models_and_params``: list of (flax module, params); logits are averaged
+    (the reference's 2-model ensemble, :610-617).
+    """
+
+    def infer(points, valid, map_channel):
+        x = make_bev_input(points, valid, map_channel, cfg, backend=backend)[None]
+        logits = None
+        for model, params in models_and_params:
+            l, _ = model.apply(params, x)
+            logits = l if logits is None else logits + l
+        probs = jax.nn.softmax(logits[0] / len(models_and_params), axis=-1)
+        return extract_detections(
+            probs,
+            bg_threshold=bg_threshold,
+            class_score_threshold=class_score_threshold,
+            max_components=max_components,
+        )
+
+    return jax.jit(infer)
+
+
+def detections_to_world(
+    gen: BEVSampleGenerator, sample_token: str, det: Dict[str, np.ndarray]
+) -> List[dict]:
+    """Pixel-space component boxes → world-frame detection records
+    (world-boxing loop, unet-inference-with-map.py:644-727)."""
+    cfg = gen.cfg
+    h, w, _ = cfg.shape
+    car2world = gen.car_to_world_matrix(sample_token)
+    ego_yaw = quaternion_yaw_from_matrix(car2world)
+    ego_z = float(car2world[2, 3])
+
+    out: List[dict] = []
+    boxes = det["boxes_px"]
+    for i in range(boxes.shape[0]):
+        if not det["box_valid"][i]:
+            continue
+        cx, cy, bw, bl, ang = (float(v) for v in boxes[i])
+        x_car = (cx - w / 2.0) * cfg.voxel_size[0]
+        y_car = (cy - h / 2.0) * cfg.voxel_size[1]
+        # Undo the 0.8 GT shrink applied at training time (:690-695).
+        w_m = bw * cfg.voxel_size[0] / cfg.box_scale
+        l_m = bl * cfg.voxel_size[1] / cfg.box_scale
+        cw = car2world[:3, :3] @ np.array([x_car, y_car, 0.0]) + car2world[:3, 3]
+        yaw_world = ang + ego_yaw
+        for ci, name in enumerate(cfg.classes):
+            if not det["detect"][i, ci]:
+                continue
+            score = float(det["scores"][i, ci])
+            height = CLASS_HEIGHTS.get(name, 1.8)
+            out.append(
+                {
+                    "sample_token": sample_token,
+                    "translation": [float(cw[0]), float(cw[1]), ego_z + height / 2.0],
+                    "size": [w_m, l_m, height],
+                    "rotation": list(quat_from_yaw(yaw_world)),
+                    "yaw": yaw_world,
+                    "name": name,
+                    "score": score,
+                }
+            )
+    return out
+
+
+class BEVInferencePipeline:
+    def __init__(
+        self,
+        db: LyftDB,
+        models_and_params: Sequence[Tuple[object, dict]],
+        cfg: BEVConfig = BEVConfig(),
+        backend: str = "auto",
+        **extract_kwargs,
+    ):
+        self.db = db
+        self.cfg = cfg
+        self.gen = BEVSampleGenerator(db, cfg)
+        self.infer_fn = make_infer_fn(
+            models_and_params, cfg, backend=backend, **extract_kwargs
+        )
+
+    def detect_sample(self, sample_token: str) -> List[dict]:
+        arrays = self.gen.sample_arrays(sample_token)
+        det = self.infer_fn(
+            jnp.asarray(arrays["points"][:, :3]),
+            jnp.asarray(arrays["points_valid"]),
+            jnp.asarray(arrays["map"]),
+        )
+        return detections_to_world(self.gen, sample_token, jax.device_get(det))
+
+    def detect_all(self, sample_tokens: Sequence[str]) -> Dict[str, List[dict]]:
+        return {tok: self.detect_sample(tok) for tok in sample_tokens}
+
+
+def quaternion_yaw_from_matrix(tm: np.ndarray) -> float:
+    """Yaw of the rotation part of a 4x4 (projection of rotated x-axis)."""
+    v = tm[:3, :3] @ np.array([1.0, 0.0, 0.0])
+    return float(np.arctan2(v[1], v[0]))
+
+
+def gt_records(db: LyftDB, sample_tokens: Sequence[str], classes=BEV_CLASSES) -> List[dict]:
+    """Ground-truth records for the mAP evaluator."""
+    recs = []
+    for tok in sample_tokens:
+        sample = db.get("sample", tok)
+        for ann_tok in sample["anns"]:
+            ann = db.get("sample_annotation", ann_tok)
+            if ann["category_name"] not in classes:
+                continue
+            recs.append(
+                {
+                    "sample_token": tok,
+                    "translation": list(ann["translation"]),
+                    "size": list(ann["size"]),
+                    "rotation": list(ann["rotation"]),
+                    "name": ann["category_name"],
+                }
+            )
+    return recs
