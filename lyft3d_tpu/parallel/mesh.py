@@ -1,0 +1,71 @@
+"""Device mesh and sharding utilities.
+
+The TPU-native replacement for the reference's single-host
+``torch.nn.DataParallel`` (SURVEY.md §2.7): batch-dim data parallelism over
+the ICI mesh via ``jax.sharding`` — XLA inserts the gradient all-reduce — plus
+optional tensor parallelism by sharding wide conv/dense output channels over
+a ``model`` axis. No NCCL analogue exists or is needed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
+           "tensor_parallel_params"]
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """(data, model) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Put a host batch onto the mesh, sharded along the leading axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_sharding(mesh: Mesh):
+    """(batch_sharding, replicated_sharding) pair for pjit in/out specs."""
+    return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
+
+
+def tensor_parallel_params(mesh: Mesh, params, min_features: int = 256):
+    """Shard wide conv/dense kernels' output-channel dim over the ``model``
+    axis (simple Megatron-style TP for convnets); everything else replicated.
+
+    Sharding the last axis of any kernel whose output features ≥
+    ``min_features`` and divide the axis size evenly.
+    """
+    axis_size = mesh.shape["model"]
+
+    def place(path, x):
+        key = jax.tree_util.keystr(path)
+        if (
+            axis_size > 1
+            and key.endswith("kernel']")
+            and x.ndim >= 2
+            and x.shape[-1] >= min_features
+            and x.shape[-1] % axis_size == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
