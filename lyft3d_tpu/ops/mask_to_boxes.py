@@ -97,24 +97,38 @@ def mask_to_rotated_boxes(
     root_valid = roots[root_pos]
     root_label = flat_idx[root_pos]
 
+    # ONE global sort groups every component's pixels contiguously; per-
+    # component work is then cheap segment gathers (vs. a per-component
+    # full-grid sort).
+    order = jnp.argsort(flat_labels).astype(jnp.int32)
+    sorted_labels = flat_labels[order]
+    starts = jnp.searchsorted(sorted_labels, root_label).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_labels, root_label, side="right").astype(jnp.int32)
+    counts = jnp.where(root_valid, ends - starts, 0)
+
     cols = (flat_idx % w).astype(jnp.float32) + 0.5
     rows = (flat_idx // w).astype(jnp.float32) + 0.5
 
-    def per_component(rlab, rvalid):
-        member = (flat_labels == rlab) & rvalid
-        count = jnp.sum(member)
-        memf = member.astype(jnp.float32)
-        _, pix = jax.lax.top_k(memf, max_pixels)
-        weight = member[pix].astype(jnp.float32)
+    seg = jnp.arange(max_pixels, dtype=jnp.int32)
+
+    def per_component(rlab, rvalid, start, count):
+        gather = jnp.clip(start + seg, 0, h * w - 1)
+        pix = order[gather]
+        weight = ((seg < count) & rvalid).astype(jnp.float32)
         coords = jnp.stack([cols[pix], rows[pix]], axis=-1)
         cx, cy, bw, bl, ang = _component_box(coords, weight, n_angles)
-        csum = jnp.maximum(jnp.sum(memf), 1.0)
-        centroid = jnp.stack([jnp.sum(cols * memf), jnp.sum(rows * memf)]) / csum
+        wsum = jnp.maximum(jnp.sum(weight), 1.0)
+        centroid = (
+            jnp.stack([jnp.sum(coords[:, 0] * weight), jnp.sum(coords[:, 1] * weight)])
+            / wsum
+        )
         box = jnp.stack([cx, cy, bw, bl, ang])
         ok = rvalid & (count >= min_pixels)
-        return box, ok, count, centroid
+        return box, ok, centroid
 
-    boxes, valid, counts, centroids = jax.vmap(per_component)(root_label, root_valid)
+    boxes, valid, centroids = jax.vmap(per_component)(
+        root_label, root_valid, starts, counts
+    )
     return boxes, valid, counts, centroids
 
 
