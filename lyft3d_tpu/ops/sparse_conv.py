@@ -1,0 +1,179 @@
+"""Sparse 3D convolution on fixed-capacity active-voxel lists (jnp).
+
+TPU-native replacement for spconv's ``SubMConv3d`` / ``SparseConv3d`` /
+``SparseConvTensor`` (the external C++/CUDA library behind
+``second/second/pytorch/models/middle.py``; SURVEY.md §2.3 N10) — the
+hardest port in the reference (SURVEY.md §7 hard-parts #1).
+
+Formulation: an active set is (coords (V, 3) int32, valid (V,), features
+(V, C)) over a static spatial shape. Neighbor resolution is a binary search
+into the sorted flat voxel ids (one sort per active set, reused across every
+kernel offset and every submanifold layer sharing the set). The conv itself
+is a single contraction::
+
+    out[v] = Σ_k gathered[k, v] @ W[k]     →  einsum('kvc,kcd->vd')
+
+— K·V·C·C' MACs of pure MXU work; the only non-matmul cost is K searchsorted
+passes and gathers. Strided convs additionally derive their output active
+set via candidate generation + sort-unique (capped at ``max_out``).
+
+No Python loops over voxels; everything jits with static shapes.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ActiveSet", "build_hash", "lookup", "subm_conv3d_gather",
+           "downsample_coords", "sparse_conv3d_gather", "kernel_offsets"]
+
+
+class ActiveSet(NamedTuple):
+    coords: jnp.ndarray  # (V, 3) int32 (ix, iy, iz)
+    valid: jnp.ndarray  # (V,) bool
+    spatial_shape: Tuple[int, int, int]  # (nx, ny, nz) static
+
+
+def _flat_ids(coords, valid, spatial_shape):
+    nx, ny, nz = spatial_shape
+    big = jnp.int32(nx * ny * nz)
+    ids = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
+    return jnp.where(valid, ids, big), big
+
+
+def build_hash(active: ActiveSet):
+    """Sorted-id lookup structure: (sorted_ids, perm, big)."""
+    ids, big = _flat_ids(active.coords, active.valid, active.spatial_shape)
+    perm = jnp.argsort(ids).astype(jnp.int32)
+    return ids[perm], perm, big
+
+
+def lookup(sorted_ids, perm, big, query_coords, query_ok, spatial_shape):
+    """Row indices of query coords in the hashed active set (−1 if absent)."""
+    nx, ny, nz = spatial_shape
+    inb = (
+        query_ok
+        & (query_coords[:, 0] >= 0) & (query_coords[:, 0] < nx)
+        & (query_coords[:, 1] >= 0) & (query_coords[:, 1] < ny)
+        & (query_coords[:, 2] >= 0) & (query_coords[:, 2] < nz)
+    )
+    qids = (query_coords[:, 2] * ny + query_coords[:, 1]) * nx + query_coords[:, 0]
+    qids = jnp.where(inb, qids, big)
+    pos = jnp.searchsorted(sorted_ids, qids).astype(jnp.int32)
+    pos_c = jnp.clip(pos, 0, sorted_ids.shape[0] - 1)
+    hit = (sorted_ids[pos_c] == qids) & inb
+    return jnp.where(hit, perm[pos_c], -1)
+
+
+def kernel_offsets(kernel_size: int = 3, ndim: int = 3):
+    """(K, 3) integer offsets centered at 0 (e.g. 27 for 3³)."""
+    r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+    return jnp.asarray(list(itertools.product(r, r, r)), jnp.int32)
+
+
+def subm_conv3d_gather(features, active: ActiveSet, hash_, offsets):
+    """Gather neighbor features for a submanifold conv.
+
+    Returns (K, V, C) with zeros where the neighbor is absent, plus the
+    gather mask. Multiply with (K, C, C') weights via einsum for the conv.
+    """
+    sorted_ids, perm, big = hash_
+    v = active.coords.shape[0]
+
+    def per_offset(off):
+        q = active.coords + off[None, :]
+        idx = lookup(sorted_ids, perm, big, q, active.valid, active.spatial_shape)
+        ok = idx >= 0
+        f = features[jnp.clip(idx, 0, v - 1)] * ok[:, None].astype(features.dtype)
+        return f
+
+    return jax.vmap(per_offset)(offsets)  # (K, V, C)
+
+
+def downsample_coords(
+    active: ActiveSet,
+    max_out: int,
+    kernel_size: int = 3,
+    stride: Sequence[int] = (2, 2, 2),
+    padding: Sequence[int] = (1, 1, 1),
+) -> ActiveSet:
+    """Active output set of a strided sparse conv (spconv semantics: every
+    output site receiving ≥1 active input), capped at ``max_out``.
+
+    Candidates per input i and kernel offset kk: o = (i + p − kk)/s where
+    divisible; dedup via sort-unique.
+    """
+    nx, ny, nz = active.spatial_shape
+    out_shape = tuple(
+        (d + 2 * p - kernel_size) // s + 1
+        for d, s, p in zip((nx, ny, nz), stride, padding)
+    )
+    onx, ony, onz = out_shape
+    obig = jnp.int32(onx * ony * onz)
+
+    kk = kernel_offsets(kernel_size)  # centered offsets; convert to [0, k)
+    kk = kk + kernel_size // 2  # (K, 3) in [0, k)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+
+    def per_offset(off):
+        num = active.coords + p[None, :] - off[None, :]
+        div_ok = jnp.all(num % s[None, :] == 0, axis=1)
+        o = num // s[None, :]
+        ok = (
+            active.valid & div_ok
+            & (o[:, 0] >= 0) & (o[:, 0] < onx)
+            & (o[:, 1] >= 0) & (o[:, 1] < ony)
+            & (o[:, 2] >= 0) & (o[:, 2] < onz)
+        )
+        ids = (o[:, 2] * ony + o[:, 1]) * onx + o[:, 0]
+        return jnp.where(ok, ids, obig)
+
+    cand = jax.vmap(per_offset)(kk).reshape(-1)  # (K·V,)
+    cand = jnp.sort(cand)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), cand[1:] != cand[:-1]]) & (
+        cand < obig
+    )
+    rank = jnp.cumsum(is_head) - 1
+    out_ids = jnp.full((max_out + 1,), obig, jnp.int32).at[
+        jnp.where(is_head, rank, max_out)
+    ].min(cand, mode="drop")[:max_out]
+    out_valid = out_ids < obig
+
+    oz = out_ids // (ony * onx)
+    oy = (out_ids % (ony * onx)) // onx
+    ox = out_ids % onx
+    coords = jnp.stack(
+        [jnp.where(out_valid, c, 0) for c in (ox, oy, oz)], axis=-1
+    ).astype(jnp.int32)
+    return ActiveSet(coords=coords, valid=out_valid, spatial_shape=out_shape)
+
+
+def sparse_conv3d_gather(
+    features,
+    in_active: ActiveSet,
+    out_active: ActiveSet,
+    kernel_size: int = 3,
+    stride: Sequence[int] = (2, 2, 2),
+    padding: Sequence[int] = (1, 1, 1),
+):
+    """Gather (K, V_out, C) input features feeding each output site of a
+    strided sparse conv: input coord = s·o + kk − p."""
+    hash_ = build_hash(in_active)
+    sorted_ids, perm, big = hash_
+    v = in_active.coords.shape[0]
+    kk = kernel_offsets(kernel_size) + kernel_size // 2
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+
+    def per_offset(off):
+        q = out_active.coords * s[None, :] + off[None, :] - p[None, :]
+        idx = lookup(sorted_ids, perm, big, q, out_active.valid, in_active.spatial_shape)
+        ok = idx >= 0
+        return features[jnp.clip(idx, 0, v - 1)] * ok[:, None].astype(features.dtype)
+
+    return jax.vmap(per_offset)(kk)
