@@ -1,0 +1,135 @@
+"""Sparse middle feature extractors (flax over ops.sparse_conv).
+
+Capability of ``second/second/pytorch/models/middle.py`` (``SpMiddleFHD``
+:111-212: SubMConv3d stacks + strided SparseConv3d downsamples ×3 →
+``.dense()`` → reshape (N, C·D, H, W); ``SparseMiddleExtractor:32``) without
+spconv: each layer is the gather-einsum formulation from
+``lyft3d_tpu.ops.sparse_conv``, with LayerNorm + ReLU on valid rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lyft3d_tpu.ops.sparse_conv import (
+    ActiveSet,
+    build_hash,
+    downsample_coords,
+    kernel_offsets,
+    sparse_conv3d_gather,
+    subm_conv3d_gather,
+)
+
+
+class SubMConvLayer(nn.Module):
+    """Submanifold sparse conv + LayerNorm + ReLU (SubMConv3d+BN+ReLU)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, active: ActiveSet, hash_):
+        k = self.kernel_size ** 3
+        cin = features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        gathered = subm_conv3d_gather(
+            features, active, hash_, kernel_offsets(self.kernel_size)
+        )  # (K, V, C)
+        out = jnp.einsum(
+            "kvc,kcd->vd", gathered.astype(self.dtype), w,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = nn.LayerNorm(dtype=self.dtype)(out)
+        out = nn.relu(out) * active.valid[:, None].astype(self.dtype)
+        return out
+
+
+class SparseConvLayer(nn.Module):
+    """Strided sparse conv producing a new (downsampled) active set."""
+
+    features: int
+    max_out: int
+    kernel_size: int = 3
+    stride: Tuple[int, int, int] = (2, 2, 2)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, active: ActiveSet):
+        out_active = downsample_coords(
+            active, self.max_out, self.kernel_size, self.stride, self.padding
+        )
+        k = self.kernel_size ** 3
+        cin = features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        gathered = sparse_conv3d_gather(
+            features, active, out_active, self.kernel_size, self.stride, self.padding
+        )
+        out = jnp.einsum(
+            "kvc,kcd->vd", gathered.astype(self.dtype), w,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = nn.LayerNorm(dtype=self.dtype)(out)
+        out = nn.relu(out) * out_active.valid[:, None].astype(self.dtype)
+        return out, out_active
+
+
+def sparse_to_dense_bev(features, active: ActiveSet):
+    """Scatter (V, C) features at (V, 3) coords → (ny, nx, nz·C) BEV map —
+    the ``.dense()`` + reshape at the end of SpMiddleFHD (middle.py:199-212).
+    """
+    nx, ny, nz = active.spatial_shape
+    c = features.shape[-1]
+    flat = jnp.where(
+        active.valid,
+        (active.coords[:, 2] * ny + active.coords[:, 1]) * nx + active.coords[:, 0],
+        nx * ny * nz,
+    )
+    dense = jnp.zeros((nz * ny * nx, c), features.dtype).at[flat].add(
+        features * active.valid[:, None].astype(features.dtype), mode="drop"
+    )
+    return (
+        dense.reshape(nz, ny, nx, c).transpose(1, 2, 0, 3).reshape(ny, nx, nz * c)
+    )
+
+
+class SparseMiddle(nn.Module):
+    """SpMiddleFHD-style stack: per stage, ``subm_per_stage`` submanifold
+    convs then one strided downsample; final dense-BEV flatten.
+
+    ``stage_features`` and ``stage_max_voxels`` size each stage; strides
+    default to (2, 2, 2) per stage like the reference's ds_factor=8.
+    """
+
+    stage_features: Sequence[int] = (16, 32, 64)
+    stage_max_voxels: Sequence[int] = (8192, 4096, 2048)
+    subm_per_stage: int = 2
+    strides: Sequence[Tuple[int, int, int]] = ((2, 2, 2), (2, 2, 2), (2, 2, 2))
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, active: ActiveSet):
+        x = features.astype(self.dtype)
+        for f, mo, st in zip(self.stage_features, self.stage_max_voxels, self.strides):
+            hash_ = build_hash(active)
+            for _ in range(self.subm_per_stage):
+                x = SubMConvLayer(f, dtype=self.dtype)(x, active, hash_)
+            x, active = SparseConvLayer(
+                f, max_out=mo, stride=st, dtype=self.dtype
+            )(x, active)
+        return sparse_to_dense_bev(x, active), active

@@ -23,19 +23,21 @@ No Python loops over voxels; everything jits with static shapes.
 from __future__ import annotations
 
 import itertools
-from typing import NamedTuple, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 __all__ = ["ActiveSet", "build_hash", "lookup", "subm_conv3d_gather",
            "downsample_coords", "sparse_conv3d_gather", "kernel_offsets"]
 
 
-class ActiveSet(NamedTuple):
+class ActiveSet(struct.PyTreeNode):
     coords: jnp.ndarray  # (V, 3) int32 (ix, iy, iz)
     valid: jnp.ndarray  # (V,) bool
-    spatial_shape: Tuple[int, int, int]  # (nx, ny, nz) static
+    # Static under jit (pytree aux data), like spconv's spatial_shape.
+    spatial_shape: Tuple[int, int, int] = struct.field(pytree_node=False)
 
 
 def _flat_ids(coords, valid, spatial_shape):
