@@ -1,0 +1,108 @@
+"""PointNet++ set-abstraction / feature-propagation modules (flax).
+
+Capability of ``PointRCNN/pointnet2_lib/pointnet2/pointnet2_modules.py``
+(``PointnetSAModuleMSG:58`` FPS → multi-radius ball query → grouping →
+shared MLP → max-pool; ``PointnetSAModule:95``; ``PointnetFPModule:116``
+3-NN inverse-distance upsampling) over the fixed-capacity ops in
+``lyft3d_tpu.ops.pointnet2``. Unbatched (vmap at the network level).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lyft3d_tpu.ops.pointnet2 import (
+    ball_query,
+    furthest_point_sample,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+
+
+class SharedMLP(nn.Module):
+    """Pointwise Dense+LayerNorm+ReLU stack (pytorch_utils.SharedMLP)."""
+
+    features: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for f in self.features:
+            x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction.
+
+    __call__(xyz (N,3), features (N,C) or None, valid (N,)) →
+    (new_xyz (S,3), new_features (S, ΣC'), new_valid (S,)).
+    """
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        sel = furthest_point_sample(xyz, valid, self.npoint)
+        new_xyz = xyz[sel]
+        new_valid = valid[sel]
+
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            idx, count = ball_query(new_xyz, xyz, valid, radius, nsample)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, None, :]
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, group_points(features, idx)], axis=-1
+                ) if self.use_xyz else group_points(features, idx)
+            else:
+                grouped = grouped_xyz
+            h = SharedMLP(mlp, dtype=self.dtype)(grouped)  # (S, K, C')
+            slot_ok = (jnp.arange(nsample)[None, :] < jnp.maximum(count, 1)[:, None])
+            h = jnp.where(slot_ok[..., None], h, -jnp.inf)
+            pooled = jnp.max(h, axis=1)
+            pooled = jnp.where((count > 0)[:, None], pooled, 0.0)
+            outs.append(pooled)
+        return new_xyz, jnp.concatenate(outs, axis=-1), new_valid & True
+
+
+class SAModuleGlobal(nn.Module):
+    """Group-all set abstraction (PointnetSAModule with npoint=None)."""
+
+    mlp: Sequence[int]
+    use_xyz: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        x = jnp.concatenate([xyz, features], axis=-1) if self.use_xyz else features
+        h = SharedMLP(self.mlp, dtype=self.dtype)(x)
+        h = jnp.where(valid[:, None], h, -jnp.inf)
+        pooled = jnp.max(h, axis=0)
+        return pooled  # (C',)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN upsample + skip concat + MLP."""
+
+    mlp: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, unknown_xyz, unknown_feats, known_xyz, known_feats, known_valid):
+        d, idx = three_nn(unknown_xyz, known_xyz, known_valid)
+        interp = three_interpolate(known_feats, idx, d)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp, dtype=self.dtype)(interp)

@@ -1,0 +1,340 @@
+"""PointRCNN: PointNet++ RPN → proposals → RCNN refinement (flax).
+
+Capability of the reference nets:
+- ``Pointnet2MSG`` backbone, 4 SA + 4 FP (``lib/net/pointnet2_msg.py:11-70``);
+- RPN heads: per-point foreground logit + bin-based regression
+  (``lib/net/rpn.py:30-82``, focal-init bias :61-66);
+- ``ProposalLayer`` decode + NMS → fixed proposal set
+  (``lib/rpn/proposal_layer.py:9-145``);
+- ``ProposalTargetLayer`` train-time RoI sampling (fg ≥ 0.55, 50% fg quota,
+  ``lib/rpn/proposal_target_layer.py``);
+- ``RCNNNet`` RoI-pool 512 pts → canonical transform → SA stack → cls + bin
+  reg (``lib/net/rcnn_net.py:14-190``);
+- joint wiring ``PointRCNN`` (``lib/net/point_rcnn.py:8-70``).
+
+All unbatched with fixed capacities; vmap over the batch outside.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lyft3d_tpu.models.pointrcnn.modules import (
+    FPModule,
+    SAModuleGlobal,
+    SAModuleMSG,
+    SharedMLP,
+)
+from lyft3d_tpu.ops.bin_coder import BinCoderConfig, decode_bin_boxes
+from lyft3d_tpu.ops.nms import rotated_nms, select_top_k
+from lyft3d_tpu.ops.pointnet2 import roi_pool3d
+from lyft3d_tpu.ops.rotated_iou import rotated_iou_3d
+
+
+@dataclass(frozen=True)
+class PointRCNNConfig:
+    # backbone (SA_CONFIG, cfgs/default.yaml:41-48, scaled down by default)
+    sa_npoints: Tuple[int, ...] = (1024, 256, 64, 16)
+    sa_radii: Tuple[Tuple[float, ...], ...] = ((0.5, 1.0), (1.0, 2.0), (2.0, 4.0), (4.0, 8.0))
+    sa_nsamples: Tuple[Tuple[int, ...], ...] = ((16, 32), (16, 32), (16, 32), (16, 32))
+    sa_widths: Tuple[int, ...] = (32, 64, 128, 256)
+    fp_width: int = 128
+    # RPN head / coder
+    rpn_coder: BinCoderConfig = field(default_factory=BinCoderConfig)
+    # proposals
+    num_proposals: int = 64
+    nms_pre: int = 256
+    proposal_nms_iou: float = 0.8
+    # RCNN
+    rcnn_coder: BinCoderConfig = field(
+        default_factory=lambda: BinCoderConfig(loc_scope=1.5, loc_bin_size=0.5)
+    )
+    roi_points: int = 128
+    roi_extra_width: float = 1.0
+    rcnn_sa_npoints: Tuple[int, ...] = (64, 16)
+    rcnn_widths: Tuple[int, ...] = (128, 256)
+    # proposal targets
+    fg_iou: float = 0.55
+    bg_iou: float = 0.45
+    rois_per_image: int = 32
+    fg_fraction: float = 0.5
+
+
+class PointRCNNBackbone(nn.Module):
+    """Pointnet2MSG: SA pyramid + FP back to per-point features."""
+
+    cfg: PointRCNNConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        c = self.cfg
+        stack = [(xyz, features, valid)]
+        for npoint, radii, nsamples, w in zip(
+            c.sa_npoints, c.sa_radii, c.sa_nsamples, c.sa_widths
+        ):
+            x, f, v = stack[-1]
+            mlps = [[w, w] for _ in radii]
+            x2, f2, v2 = SAModuleMSG(
+                npoint=npoint, radii=radii, nsamples=nsamples, mlps=mlps,
+                dtype=self.dtype,
+            )(x, f, v)
+            stack.append((x2, f2, v2))
+
+        # FP path back up.
+        up_feats = stack[-1][1]
+        for i in range(len(stack) - 1, 0, -1):
+            ux, uf, uv = stack[i - 1]
+            kx, _, kv = stack[i]
+            up_feats = FPModule([c.fp_width, c.fp_width], dtype=self.dtype)(
+                ux, uf, kx, up_feats, kv
+            )
+        return up_feats  # (N, fp_width)
+
+
+class PointRCNN_RPN(nn.Module):
+    cfg: PointRCNNConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        feats = PointRCNNBackbone(self.cfg, dtype=self.dtype)(xyz, features, valid)
+        h = SharedMLP([self.cfg.fp_width], dtype=self.dtype)(feats)
+        # Focal-style init bias on the fg logit (rpn.py:61-66).
+        cls = nn.Dense(
+            1, bias_init=nn.initializers.constant(-jnp.log((1 - 0.01) / 0.01))
+        )(h)[:, 0]
+        reg = nn.Dense(self.cfg.rpn_coder.channels)(h)
+        return {"point_features": feats, "cls": cls, "reg": reg}
+
+
+def proposal_layer(xyz, cls_logits, reg, valid, cfg: PointRCNNConfig):
+    """Decode per-point boxes → score top-k → rotated NMS → fixed proposals
+    (proposal_layer.py:15-125; score-based variant)."""
+    boxes = decode_bin_boxes(xyz, reg, cfg.rpn_coder)
+    scores = jax.nn.sigmoid(cls_logits)
+    scores = jnp.where(valid, scores, -1.0)
+
+    k = min(cfg.nms_pre, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    bev = jnp.concatenate([top_boxes[:, 0:2], top_boxes[:, 3:5], top_boxes[:, 6:7]], -1)
+    keep = rotated_nms(bev, top_scores, cfg.proposal_nms_iou, valid=top_scores > 0)
+    sel, sel_valid = select_top_k(keep, top_scores, cfg.num_proposals)
+    return {
+        "rois": top_boxes[sel],
+        "roi_scores": top_scores[sel],
+        "roi_valid": sel_valid,
+    }
+
+
+def proposal_target_layer(rois, roi_valid, gt_boxes, gt_valid, cfg: PointRCNNConfig, rng):
+    """Train-time RoI sampling: IoU3D vs GT, fg ≥ fg_iou, ~50% fg quota
+    (proposal_target_layer.py:10-340, deterministic rank-based variant).
+
+    Returns per-roi: assigned gt index, fg mask, sampled keep mask.
+    """
+    iou = rotated_iou_3d(rois, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.where(roi_valid, jnp.max(iou, axis=1), -1.0)
+    fg = best_iou >= cfg.fg_iou
+    bg = (best_iou < cfg.bg_iou) & (best_iou >= 0.0) & roi_valid
+
+    n_fg_max = int(cfg.rois_per_image * cfg.fg_fraction)
+    fg_rank = jnp.cumsum(fg) - 1
+    keep_fg = fg & (fg_rank < n_fg_max)
+    n_bg_max = cfg.rois_per_image - n_fg_max
+    bg_rank = jnp.cumsum(bg) - 1
+    keep_bg = bg & (bg_rank < n_bg_max)
+    keep = keep_fg | keep_bg
+    return {"assigned_gt": best_gt, "fg": keep_fg, "keep": keep, "max_iou": best_iou}
+
+
+def canonical_transform(pooled_xyz, rois):
+    """Rotate RoI point samples into the box-canonical frame
+    (rcnn_net.py:146-152): subtract center, rotate by −yaw."""
+    rel = pooled_xyz - rois[:, None, :3]
+    c, s = jnp.cos(-rois[:, 6]), jnp.sin(-rois[:, 6])
+    x = c[:, None] * rel[..., 0] - s[:, None] * rel[..., 1]
+    y = s[:, None] * rel[..., 0] + c[:, None] * rel[..., 1]
+    return jnp.stack([x, y, rel[..., 2]], axis=-1)
+
+
+class PointRCNN_RCNN(nn.Module):
+    """Refinement head over canonical RoI point sets."""
+
+    cfg: PointRCNNConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_points, roi_counts):
+        """roi_points: (R, P, 3+C) canonical xyz + features."""
+        c = self.cfg
+        # Shared-parameter encoder vmapped over the RoI axis.
+        sa = nn.vmap(
+            _RoIEncoder,
+            in_axes=(0, 0),
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(cfg=c, dtype=self.dtype)
+        g = sa(roi_points, roi_counts)  # (R, C')
+
+        h = nn.Dense(c.rcnn_widths[-1], dtype=self.dtype)(g)
+        h = nn.relu(h)
+        cls = nn.Dense(1)(h)[:, 0]
+        reg = nn.Dense(c.rcnn_coder.channels)(h)
+        return {"cls": cls, "reg": reg}
+
+
+class _RoIEncoder(nn.Module):
+    cfg: PointRCNNConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts, count):
+        c = self.cfg
+        xyz = pts[:, :3]
+        feats = SharedMLP([c.rcnn_widths[0]], dtype=self.dtype)(pts)
+        valid = jnp.arange(pts.shape[0]) < jnp.maximum(count, 1)
+        for npoint, w in zip(c.rcnn_sa_npoints, c.rcnn_widths):
+            xyz, feats, valid = SAModuleMSG(
+                npoint=npoint, radii=(1.0,), nsamples=(16,), mlps=[[w, w]],
+                dtype=self.dtype,
+            )(xyz, feats, valid)
+        return SAModuleGlobal([c.rcnn_widths[-1]], dtype=self.dtype)(xyz, feats, valid)
+
+
+class PointRCNN(nn.Module):
+    """Joint two-stage net (point_rcnn.py:8-70): RPN → proposals →
+    RoI-pool + canonical transform → RCNN heads.
+
+    __call__(xyz (N,3), features (N,C)|None, valid (N,)) for ONE sample;
+    vmap externally for batches.
+    """
+
+    cfg: PointRCNNConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        c = self.cfg
+        feats_in = features if features is not None else jnp.zeros(
+            (xyz.shape[0], 1), xyz.dtype
+        )
+        rpn_out = PointRCNN_RPN(c, dtype=self.dtype)(xyz, feats_in, valid)
+
+        props = proposal_layer(
+            xyz,
+            jax.lax.stop_gradient(rpn_out["cls"]),
+            jax.lax.stop_gradient(rpn_out["reg"]),
+            valid,
+            c,
+        )
+        rois = props["rois"]
+
+        pooled, counts, empty = roi_pool3d(
+            xyz,
+            jax.lax.stop_gradient(rpn_out["point_features"]),
+            valid,
+            rois,
+            num_sampled=c.roi_points,
+            extra_width=c.roi_extra_width,
+        )
+        canon = canonical_transform(pooled[..., :3], rois)
+        roi_pts = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
+        rcnn_out = PointRCNN_RCNN(c, dtype=self.dtype)(roi_pts, counts)
+        return {
+            "rpn": rpn_out,
+            "proposals": props,
+            "rcnn": rcnn_out,
+            "roi_empty": empty,
+        }
+
+
+def rpn_point_labels(xyz, gt_boxes, gt_valid, extra_width: float = 0.2):
+    """Per-point segmentation labels + assigned GT
+    (generate_rpn_training_labels, kitti_rcnn_dataset.py:407-437):
+    1 inside a GT box, −1 (ignore) in the enlarged margin, 0 background.
+    """
+    from lyft3d_tpu.ops.pointnet2 import _first_k_true  # noqa: F401 (doc)
+
+    def member(boxes, extra):
+        d = xyz[None, :, :] - boxes[:, None, :3]
+        c, s = jnp.cos(boxes[:, 6]), jnp.sin(boxes[:, 6])
+        lx = c[:, None] * d[:, :, 0] + s[:, None] * d[:, :, 1]
+        ly = -s[:, None] * d[:, :, 0] + c[:, None] * d[:, :, 1]
+        ok = (
+            (jnp.abs(lx) <= (boxes[:, 4] / 2 + extra)[:, None])
+            & (jnp.abs(ly) <= (boxes[:, 3] / 2 + extra)[:, None])
+            & (jnp.abs(d[:, :, 2]) <= (boxes[:, 5] / 2 + extra)[:, None])
+            & gt_valid[:, None]
+        )
+        return ok
+
+    inside = member(gt_boxes, 0.0)  # (G, N)
+    enlarged = member(gt_boxes, extra_width)
+    fg = inside.any(axis=0)
+    ignore = enlarged.any(axis=0) & ~fg
+    labels = jnp.where(fg, 1, jnp.where(ignore, -1, 0)).astype(jnp.int32)
+    assigned = jnp.argmax(inside, axis=0).astype(jnp.int32)
+    return labels, assigned
+
+
+def rpn_loss(rpn_out, xyz, labels, assigned, gt_boxes, cfg: PointRCNNConfig,
+             focal_alpha: float = 0.25, focal_gamma: float = 2.0):
+    """Per-point focal fg/bg + bin-based regression over fg points
+    (train_functions.py:56-216)."""
+    from lyft3d_tpu.ops.bin_coder import bin_reg_loss, encode_bin_targets
+    from lyft3d_tpu.train.losses import sigmoid_focal_loss
+
+    care = (labels >= 0).astype(jnp.float32)
+    fg = (labels == 1).astype(jnp.float32)
+    cls_loss = sigmoid_focal_loss(
+        rpn_out["cls"], fg, alpha=focal_alpha, gamma=focal_gamma
+    )
+    cls_loss = jnp.sum(cls_loss * care) / jnp.maximum(jnp.sum(care), 1.0)
+
+    tgt = encode_bin_targets(xyz, gt_boxes[assigned], cfg.rpn_coder)
+    reg_loss, comps = bin_reg_loss(rpn_out["reg"], tgt, fg, cfg.rpn_coder)
+    total = cls_loss + reg_loss
+    return total, {"rpn_cls": cls_loss, "rpn_reg": reg_loss, **comps}
+
+
+def rcnn_loss(rcnn_out, rois, roi_targets, gt_boxes, cfg: PointRCNNConfig):
+    """RCNN BCE(cls=iou-based) + canonical-frame bin regression."""
+    from lyft3d_tpu.ops.bin_coder import bin_reg_loss, encode_bin_targets
+    from lyft3d_tpu.train.losses import bce_with_logits
+
+    keep = roi_targets["keep"].astype(jnp.float32)
+    fg = roi_targets["fg"].astype(jnp.float32)
+    cls_tgt = fg  # fg/bg classification target
+    cls_raw = jnp.maximum(rcnn_out["cls"], -20.0)
+    per = (
+        jnp.maximum(cls_raw, 0) - cls_raw * cls_tgt + jnp.log1p(jnp.exp(-jnp.abs(cls_raw)))
+    )
+    cls_loss = jnp.sum(per * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+    # Canonical-frame targets: gt transformed into each roi's frame.
+    gts = gt_boxes[roi_targets["assigned_gt"]]
+    rel = gts[:, :3] - rois[:, :3]
+    c, s = jnp.cos(-rois[:, 6]), jnp.sin(-rois[:, 6])
+    rx = c * rel[:, 0] - s * rel[:, 1]
+    ry = s * rel[:, 0] + c * rel[:, 1]
+    canon_gt = jnp.concatenate(
+        [
+            jnp.stack([rx, ry, rel[:, 2]], -1),
+            gts[:, 3:6],
+            (gts[:, 6] - rois[:, 6])[:, None],
+        ],
+        axis=-1,
+    )
+    zeros = jnp.zeros((rois.shape[0], 3))
+    tgt = encode_bin_targets(zeros, canon_gt, cfg.rcnn_coder)
+    reg_loss, comps = bin_reg_loss(rcnn_out["reg"], tgt, fg, cfg.rcnn_coder)
+    return cls_loss + reg_loss, {"rcnn_cls": cls_loss, "rcnn_reg": reg_loss}

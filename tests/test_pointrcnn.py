@@ -1,0 +1,240 @@
+"""PointRCNN tests: bin coder round-trip, SA/FP modules, proposal layers,
+joint net forward + loss gradients on a tiny synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from lyft3d_tpu.models.pointrcnn.modules import FPModule, SAModuleMSG
+from lyft3d_tpu.models.pointrcnn.net import (
+    PointRCNN,
+    PointRCNNConfig,
+    canonical_transform,
+    proposal_layer,
+    proposal_target_layer,
+    rcnn_loss,
+    rpn_loss,
+    rpn_point_labels,
+)
+from lyft3d_tpu.ops.bin_coder import (
+    BinCoderConfig,
+    bin_reg_loss,
+    decode_bin_boxes,
+    encode_bin_targets,
+)
+
+TINY = PointRCNNConfig(
+    sa_npoints=(64, 16),
+    sa_radii=((1.0,), (2.0,)),
+    sa_nsamples=((8,), (8,)),
+    sa_widths=(16, 32),
+    fp_width=16,
+    num_proposals=8,
+    nms_pre=32,
+    roi_points=16,
+    rcnn_sa_npoints=(8,),
+    rcnn_widths=(16,),
+    rois_per_image=8,
+)
+
+
+def scene(seed=0, n=256):
+    rng = np.random.RandomState(seed)
+    gt = np.array(
+        [[2.0, 3.0, 0.0, 2.0, 4.0, 1.6, 0.4], [-5.0, -4.0, 0.0, 2.0, 4.0, 1.6, -0.9]],
+        np.float32,
+    )
+    pts = [rng.uniform(-10, 10, (n - 120, 3)).astype(np.float32)]
+    for b in gt:
+        local = rng.uniform(-0.45, 0.45, (60, 3)) * b[[4, 3, 5]]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        pts.append(
+            np.column_stack(
+                [
+                    c * local[:, 0] - s * local[:, 1] + b[0],
+                    s * local[:, 0] + c * local[:, 1] + b[1],
+                    local[:, 2] + b[2],
+                ]
+            ).astype(np.float32)
+        )
+    return np.concatenate(pts), gt
+
+
+class TestBinCoder:
+    def test_encode_decode_roundtrip(self):
+        cfg = BinCoderConfig(loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12)
+        rng = np.random.RandomState(0)
+        anchors = rng.uniform(-5, 5, (32, 3)).astype(np.float32)
+        gt = np.zeros((32, 7), np.float32)
+        gt[:, :3] = anchors + rng.uniform(-2.5, 2.5, (32, 3))
+        gt[:, 3:6] = rng.uniform(1, 4, (32, 3))
+        gt[:, 6] = rng.uniform(-np.pi, np.pi, 32)
+        tgt = encode_bin_targets(jnp.array(anchors), jnp.array(gt), cfg)
+
+        # Build a perfect regression output from the targets.
+        sl = cfg.slices()
+        reg = np.zeros((32, cfg.channels), np.float32)
+        xb = np.asarray(tgt["x_bin"])
+        yb = np.asarray(tgt["y_bin"])
+        hb = np.asarray(tgt["head_bin"])
+        reg[np.arange(32), sl["x_bin"].start + xb] = 10.0
+        reg[np.arange(32), sl["y_bin"].start + yb] = 10.0
+        reg[np.arange(32), sl["head_bin"].start + hb] = 10.0
+        reg[np.arange(32), sl["x_res"].start + xb] = np.asarray(tgt["x_res"])
+        reg[np.arange(32), sl["y_res"].start + yb] = np.asarray(tgt["y_res"])
+        reg[np.arange(32), sl["head_res"].start + hb] = np.asarray(tgt["head_res"])
+        reg[:, sl["z_res"]] = np.asarray(tgt["z_res"])[:, None]
+        reg[:, sl["size_res"]] = np.asarray(tgt["size_res"])
+
+        dec = np.asarray(decode_bin_boxes(jnp.array(anchors), jnp.array(reg), cfg))
+        np.testing.assert_allclose(dec[:, :3], gt[:, :3], atol=1e-4)
+        np.testing.assert_allclose(dec[:, 3:6], gt[:, 3:6], atol=1e-4)
+        ang_err = np.abs(np.angle(np.exp(1j * (dec[:, 6] - gt[:, 6]))))
+        assert ang_err.max() < 1e-4
+
+    def test_perfect_reg_gives_small_loss(self):
+        cfg = BinCoderConfig()
+        anchors = jnp.zeros((4, 3))
+        gt = jnp.array([[1.0, -0.5, 0.2, 2, 4, 1.5, 0.3]] * 4, jnp.float32)
+        tgt = encode_bin_targets(anchors, gt, cfg)
+        sl = cfg.slices()
+        reg = np.full((4, cfg.channels), -10.0, np.float32)
+        xb = np.asarray(tgt["x_bin"])
+        reg[np.arange(4), sl["x_bin"].start + xb] = 10.0
+        reg[np.arange(4), sl["y_bin"].start + np.asarray(tgt["y_bin"])] = 10.0
+        reg[np.arange(4), sl["head_bin"].start + np.asarray(tgt["head_bin"])] = 10.0
+        reg[np.arange(4), sl["x_res"].start + xb] = np.asarray(tgt["x_res"])
+        reg[np.arange(4), sl["y_res"].start + np.asarray(tgt["y_bin"])] = np.asarray(tgt["y_res"])
+        reg[np.arange(4), sl["head_res"].start + np.asarray(tgt["head_bin"])] = np.asarray(tgt["head_res"])
+        reg[:, sl["z_res"]] = np.asarray(tgt["z_res"])[:, None]
+        reg[:, sl["size_res"]] = np.asarray(tgt["size_res"])
+        loss, _ = bin_reg_loss(jnp.array(reg), tgt, jnp.ones(4), cfg)
+        assert float(loss) < 0.01
+
+
+class TestModules:
+    def test_sa_module_shapes(self):
+        pts, _ = scene()
+        xyz = jnp.array(pts)
+        feats = jnp.ones((len(pts), 5))
+        valid = jnp.ones(len(pts), bool)
+        mod = SAModuleMSG(npoint=32, radii=(1.0, 2.0), nsamples=(8, 16),
+                          mlps=[[8, 8], [8, 16]])
+        params = mod.init(jax.random.PRNGKey(0), xyz, feats, valid)
+        nx, nf, nv = mod.apply(params, xyz, feats, valid)
+        assert nx.shape == (32, 3) and nf.shape == (32, 24)
+
+    def test_fp_module_shapes(self):
+        rng = np.random.RandomState(1)
+        ux = jnp.array(rng.randn(64, 3), jnp.float32)
+        kx = jnp.array(rng.randn(16, 3), jnp.float32)
+        kf = jnp.array(rng.randn(16, 8), jnp.float32)
+        uf = jnp.array(rng.randn(64, 4), jnp.float32)
+        mod = FPModule([16])
+        params = mod.init(jax.random.PRNGKey(0), ux, uf, kx, kf, jnp.ones(16, bool))
+        out = mod.apply(params, ux, uf, kx, kf, jnp.ones(16, bool))
+        assert out.shape == (64, 16)
+
+
+class TestLabelsAndTargets:
+    def test_rpn_point_labels(self):
+        pts, gt = scene()
+        labels, assigned = rpn_point_labels(
+            jnp.array(pts), jnp.array(gt), jnp.array([True, True])
+        )
+        lab = np.asarray(labels)
+        assert (lab == 1).sum() >= 100  # cluster points are fg
+        assert (lab == 0).sum() > 0
+        # Points of the second cluster assigned to gt 1.
+        a = np.asarray(assigned)
+        assert a[-30] == 1
+
+    def test_proposal_target_layer(self):
+        gt = jnp.array([[0, 0, 0, 2, 4, 1.6, 0.0]], jnp.float32)
+        rois = jnp.array(
+            [
+                [0, 0, 0, 2, 4, 1.6, 0.0],  # perfect → fg
+                [0.2, 0, 0, 2, 4, 1.6, 0.0],  # high IoU → fg
+                [5, 5, 0, 2, 4, 1.6, 0.0],  # bg
+            ],
+            jnp.float32,
+        )
+        out = proposal_target_layer(
+            rois, jnp.array([True] * 3), gt, jnp.array([True]), TINY,
+            jax.random.PRNGKey(0),
+        )
+        fg = np.asarray(out["fg"])
+        assert fg[0] and fg[1] and not fg[2]
+        assert np.asarray(out["keep"]).all()
+
+    def test_canonical_transform(self):
+        rois = jnp.array([[1.0, 2.0, 0.5, 2, 4, 1.6, np.pi / 2]], jnp.float32)
+        pts = jnp.array([[[1.0, 3.0, 0.5]]], jnp.float32)  # 1m ahead along +y
+        canon = np.asarray(canonical_transform(pts, rois))[0, 0]
+        np.testing.assert_allclose(canon, [1.0, 0.0, 0.0], atol=1e-6)
+
+
+class TestJointNet:
+    def test_forward_and_losses(self):
+        pts, gt = scene()
+        xyz = jnp.array(pts)
+        valid = jnp.ones(len(pts), bool)
+        model = PointRCNN(TINY)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), xyz, None, valid)
+        out = jax.jit(model.apply)(params, xyz, None, valid)
+        assert out["rpn"]["cls"].shape == (len(pts),)
+        assert out["proposals"]["rois"].shape == (TINY.num_proposals, 7)
+        assert out["rcnn"]["cls"].shape == (TINY.num_proposals,)
+
+        gt_j = jnp.array(gt)
+        gt_valid = jnp.array([True, True])
+        labels, assigned = rpn_point_labels(xyz, gt_j, gt_valid)
+
+        def loss_fn(p):
+            out = model.apply(p, xyz, None, valid)
+            l_rpn, m1 = rpn_loss(out["rpn"], xyz, labels, assigned, gt_j, TINY)
+            tgts = proposal_target_layer(
+                out["proposals"]["rois"], out["proposals"]["roi_valid"],
+                gt_j, gt_valid, TINY, jax.random.PRNGKey(0),
+            )
+            l_rcnn, m2 = rcnn_loss(out["rcnn"], out["proposals"]["rois"], tgts, gt_j, TINY)
+            return l_rpn + l_rcnn, {**m1, **m2}
+
+        (loss, metrics), grads = jax.jit(
+            lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+        )(params)
+        assert np.isfinite(float(loss))
+        gn = float(optax.global_norm(grads))
+        assert np.isfinite(gn) and gn > 0
+
+    def test_rpn_overfit(self):
+        """RPN-only: a few steps should reduce the per-point focal loss."""
+        pts, gt = scene(seed=3)
+        xyz = jnp.array(pts)
+        valid = jnp.ones(len(pts), bool)
+        from lyft3d_tpu.models.pointrcnn.net import PointRCNN_RPN
+
+        model = PointRCNN_RPN(TINY)
+        feats = jnp.zeros((len(pts), 1))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), xyz, feats, valid)
+        labels, assigned = rpn_point_labels(xyz, jnp.array(gt), jnp.array([True, True]))
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def lf(p):
+                out = model.apply(p, xyz, feats, valid)
+                return rpn_loss(out, xyz, labels, assigned, jnp.array(gt), TINY)
+
+            (l, m), g = jax.value_and_grad(lf, has_aux=True)(params)
+            up, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, up), opt, l
+
+        losses = []
+        for _ in range(25):
+            params, opt, l = step(params, opt)
+            losses.append(float(l))
+        assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
