@@ -1,0 +1,99 @@
+"""BEV segmentation training driver.
+
+Capability of ``unet_baseline/unet-training-with-map.py:223-425`` and
+``deeplab_v3_baseline/deeplab_training_with_map.py:130-314``: 80/20 token
+split, PNG dataset with augmentation, weighted-CE + SIZE·BCE + SoftDice
+objective, Ranger/one-cycle (or any registered optimizer), gradient
+accumulation, clip-norm, best-val checkpointing — on the shared Trainer
+with pjit data parallelism.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyft3d_tpu.config import BEVExperiment, snapshot_config
+from lyft3d_tpu.data.bev_dataset import BEVImageDataset, batch_iterator
+from lyft3d_tpu.models import build_model
+from lyft3d_tpu.parallel.mesh import make_mesh, replicate
+from lyft3d_tpu.train.losses import bev_segmentation_loss
+from lyft3d_tpu.train.optim import build_optimizer
+from lyft3d_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def train_bev(
+    cfg: BEVExperiment,
+    bev_dir,
+    tokens=None,
+    n_devices: Optional[int] = None,
+    log_every: int = 50,
+    eval_every: int = 500,
+    dtype=jnp.bfloat16,
+):
+    """Train a BEV segmentation model from a generated PNG dataset."""
+    bev_dir = Path(bev_dir)
+    if tokens is None:
+        tokens = sorted({p.name.rsplit("_", 1)[0] for p in bev_dir.glob("*_input.png")})
+    rng = np.random.RandomState(cfg.data.seed)
+    perm = rng.permutation(len(tokens))
+    n_val = max(int(len(tokens) * 0.2), 1)
+    train_tokens = [tokens[i] for i in perm[n_val:]]
+    val_tokens = [tokens[i] for i in perm[:n_val]]
+
+    train_ds = BEVImageDataset(bev_dir, train_tokens, with_map=cfg.with_map, augment=True)
+    val_ds = BEVImageDataset(bev_dir, val_tokens, with_map=cfg.with_map, augment=False)
+
+    model = build_model(cfg.model, n_classes=cfg.n_classes, dtype=dtype)
+    in_ch = 6 if cfg.with_map else 3
+    h, w, _ = cfg.bev_shape
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.data.seed), jnp.zeros((1, h, w, in_ch), jnp.float32)
+    )
+
+    opt = cfg.optimizer
+    tx = build_optimizer(
+        opt.name, opt.lr, total_steps=opt.total_steps, weight_decay=opt.weight_decay,
+        clip_norm=opt.clip_norm, grad_accum=opt.grad_accum,
+    )
+    class_weights = jnp.asarray(cfg.class_weights)
+
+    def loss_fn(model, params, batch, rng):
+        logits, aux = model.apply(params, batch["image"])
+        total, comps = bev_segmentation_loss(
+            logits, aux, batch["label"], class_weights, cfg.size_weight
+        )
+        return total, comps
+
+    mesh = make_mesh(n_devices)
+
+    def eval_fn(state):
+        losses = []
+        for i in range(len(val_ds)):
+            x, y = val_ds.load(i)
+            logits, aux = model.apply(state.params, jnp.asarray(x[None]))
+            total, comps = bev_segmentation_loss(
+                logits, aux, jnp.asarray(y[None]), class_weights, cfg.size_weight
+            )
+            losses.append(float(total))
+        return {"loss": float(np.mean(losses))}
+
+    tcfg = TrainerConfig(
+        model_dir=cfg.model_dir,
+        total_steps=opt.total_steps,
+        log_every=log_every,
+        eval_every=eval_every,
+        ckpt_every=eval_every,
+    )
+    snapshot_config(cfg, cfg.model_dir)
+    trainer = Trainer(model, tx, loss_fn, tcfg, mesh=mesh, eval_fn=eval_fn)
+    state = trainer.init_or_resume(replicate(mesh, params))
+    batches = batch_iterator(
+        train_ds, cfg.batch_size, steps=opt.total_steps, seed=cfg.data.seed
+    )
+    state = trainer.fit(state, batches)
+    return state, model

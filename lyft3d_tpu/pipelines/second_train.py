@@ -1,0 +1,158 @@
+"""SECOND/voxelnet training driver.
+
+Capability of ``second/second/pytorch/train.py:137-464`` ``train()``: config
+→ builder chain → step loop with periodic eval + resilient checkpointing —
+here one jitted step fuses on-device voxelization, target assignment, the
+network, and the loss.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyft3d_tpu.config import SecondExperiment, snapshot_config
+from lyft3d_tpu.models.second.voxelnet import (
+    VoxelNet,
+    VoxelNetConfig,
+    voxelnet_loss,
+    voxelnet_predict,
+)
+from lyft3d_tpu.ops.anchors import AnchorSpec, assign_targets
+from lyft3d_tpu.ops.voxelize import VoxelGrid, voxelize
+from lyft3d_tpu.parallel.mesh import make_mesh, replicate
+from lyft3d_tpu.pipelines.second_pipeline import (
+    SecondSampleLoader,
+    detections_to_world_records,
+)
+from lyft3d_tpu.train.optim import build_optimizer
+from lyft3d_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> VoxelNetConfig:
+    grid = VoxelGrid(
+        point_cloud_range=tuple(exp.point_cloud_range),
+        voxel_size=tuple(exp.voxel_size),
+    )
+    specs = tuple(
+        AnchorSpec(
+            size=tuple(a.size),
+            z_center=a.z_center,
+            matched_threshold=a.matched_threshold,
+            unmatched_threshold=a.unmatched_threshold,
+            class_id=i + 1,
+        )
+        for i, a in enumerate(exp.anchors)
+    )
+    return VoxelNetConfig(
+        grid=grid,
+        max_voxels=exp.max_voxels,
+        max_points_per_voxel=exp.max_points_per_voxel,
+        encoder=exp.encoder,
+        anchor_specs=specs,
+        **overrides,
+    )
+
+
+def make_second_loss_fn(vcfg: VoxelNetConfig):
+    anchors, mt, ut, acls = vcfg.make_anchors()
+
+    def loss_fn(model, params, batch, rng):
+        vox = jax.vmap(
+            lambda p, v: voxelize(
+                p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel
+            )
+        )(batch["points"], batch["points_valid"])
+        tgts = jax.vmap(
+            lambda g, c, v: assign_targets(anchors, acls, mt, ut, g, c, v)
+        )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+        preds = model.apply(
+            params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]
+        )
+        return voxelnet_loss(preds, tgts, vcfg)
+
+    return loss_fn
+
+
+def train_second(
+    exp: SecondExperiment,
+    loader: SecondSampleLoader,
+    train_tokens: Sequence[str],
+    vcfg: Optional[VoxelNetConfig] = None,
+    n_devices: Optional[int] = None,
+    log_every: int = 50,
+    dtype=jnp.bfloat16,
+):
+    vcfg = vcfg or voxelnet_config_from_experiment(exp)
+    model = VoxelNet(vcfg, dtype=dtype)
+
+    sample0 = loader.batch(list(train_tokens)[: exp.batch_size])
+    vox0 = jax.vmap(
+        lambda p, v: voxelize(p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel)
+    )(jnp.asarray(sample0["points"]), jnp.asarray(sample0["points_valid"]))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), vox0["voxels"], vox0["num_points"],
+        vox0["coords"], vox0["voxel_valid"],
+    )
+
+    opt = exp.optimizer
+    tx = build_optimizer(
+        opt.name, opt.lr, total_steps=opt.total_steps, weight_decay=opt.weight_decay,
+        clip_norm=opt.clip_norm, grad_accum=opt.grad_accum,
+    )
+    mesh = make_mesh(n_devices)
+    tcfg = TrainerConfig(
+        model_dir=exp.model_dir, total_steps=opt.total_steps, log_every=log_every,
+        eval_every=0, ckpt_every=max(opt.total_steps // 4, 1),
+    )
+    snapshot_config(exp, exp.model_dir)
+    trainer = Trainer(model, tx, make_second_loss_fn(vcfg), tcfg, mesh=mesh)
+    state = trainer.init_or_resume(replicate(mesh, params))
+
+    def batches():
+        rng = np.random.RandomState(exp.data.seed)
+        toks = list(train_tokens)
+        while True:
+            rng.shuffle(toks)
+            for i in range(0, len(toks) - exp.batch_size + 1, exp.batch_size):
+                b = loader.batch(toks[i : i + exp.batch_size], train=True)
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    state = trainer.fit(state, batches())
+    return state, model, vcfg
+
+
+def evaluate_second(
+    model, params, vcfg: VoxelNetConfig, loader: SecondSampleLoader,
+    tokens: Sequence[str], class_names: Sequence[str],
+) -> List[dict]:
+    """Run predict over tokens → world-frame detection records
+    (the evaluation_nusc path, nuscenes_dataset.py:346-400)."""
+    anchors, _, _, acls = vcfg.make_anchors()
+
+    @jax.jit
+    def infer(points, valid):
+        vox = voxelize(points, valid, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel)
+        preds = model.apply(
+            params,
+            vox["voxels"][None], vox["num_points"][None],
+            vox["coords"][None], vox["voxel_valid"][None],
+        )
+        preds1 = {k: v[0] for k, v in preds.items()}
+        return voxelnet_predict(preds1, anchors, acls, vcfg)
+
+    records: List[dict] = []
+    for tok in tokens:
+        s = loader.sample(tok, train=False)
+        det = jax.device_get(infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"])))
+        info = loader.infos[tok]
+        records.extend(
+            detections_to_world_records(
+                info, det["boxes"], det["scores"], det["classes"], det["valid"],
+                class_names,
+            )
+        )
+    return records

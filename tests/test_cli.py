@@ -1,0 +1,49 @@
+"""CLI smoke tests driving the full user surface on synthetic data."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from lyft3d_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli") / "lyft"
+    main(["synth-data", "--out", str(out), "--scenes", "1", "--samples", "2"])
+    return out
+
+
+class TestCLI:
+    def test_generate_bev(self, data_root, tmp_path):
+        out = tmp_path / "bev"
+        main(["generate-bev", "--data-root", str(data_root), "--out", str(out)])
+        assert len(list(out.glob("*_input.png"))) == 2
+
+    def test_create_infos_and_gtdb(self, data_root, tmp_path):
+        infos = tmp_path / "infos.pkl"
+        main(["create-infos", "--data-root", str(data_root), "--out", str(infos),
+              "--sweeps", "2"])
+        assert infos.exists()
+        gtdb = tmp_path / "gtdb"
+        main(["create-gtdb", "--data-root", str(data_root), "--infos", str(infos),
+              "--out", str(gtdb), "--classes", "car,truck,bus,pedestrian"])
+        assert (gtdb / "dbinfos.pkl").exists()
+
+    def test_export_kitti(self, data_root, tmp_path):
+        out = tmp_path / "kitti"
+        main(["export-kitti", "--data-root", str(data_root), "--out", str(out)])
+        assert (out / "velodyne" / "000000.bin").exists()
+
+    def test_infer_and_eval_map(self, data_root, tmp_path, capsys):
+        sub = tmp_path / "submission.csv"
+        main([
+            "infer-bev", "--data-root", str(data_root),
+            "--model", "unet_reference", "--out", str(sub),
+        ])
+        assert sub.exists()
+        main(["eval-map", "--data-root", str(data_root), "--submission", str(sub)])
+        out = capsys.readouterr().out
+        assert '"mAP"' in out
