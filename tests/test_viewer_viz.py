@@ -1,0 +1,78 @@
+"""Viewer backend + BEV visualization tests."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lyft3d_tpu.data.synthetic import make_synthetic_lyft
+from lyft3d_tpu.utils.visualize import bev_debug_image, draw_boxes_bev, points_to_bev_image
+
+
+class TestVisualize:
+    def test_points_image(self):
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-40, 40, (5000, 4))
+        img = points_to_bev_image(pts)
+        assert img.shape == (1000, 1000, 3)
+        assert img.max() > 0
+
+    def test_draw_boxes(self):
+        img = np.zeros((200, 200, 3), np.uint8)
+        boxes = np.array([[0.0, 0.0, 0.0, 4.0, 8.0, 1.5, 0.5]])
+        out = draw_boxes_bev(img, boxes, np.array([1]), extent=16.0, resolution=0.16)
+        assert out.sum() > 0
+
+    def test_debug_image(self):
+        pts = np.random.RandomState(1).uniform(-20, 20, (1000, 3))
+        gt = np.array([[0, 0, 0, 2, 4, 1.5, 0.0]])
+        det = np.array([[5, 5, 0, 2, 4, 1.5, 1.0]])
+        img = bev_debug_image(pts, gt, det)
+        assert img.shape[2] == 3
+
+
+class TestViewerBackend:
+    def test_endpoints(self, tmp_path):
+        from http.server import ThreadingHTTPServer
+
+        from lyft3d_tpu.serve import viewer as v
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1, samples_per_scene=2)
+        server = ThreadingHTTPServer(("127.0.0.1", 0), v.Handler)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/load_dataset",
+                data=json.dumps({"data_root": str(root)}).encode(),
+                method="POST",
+            )
+            resp = json.loads(urllib.request.urlopen(req).read())
+            assert resp["ok"] and resp["num_samples"] == 2
+
+            tokens = json.loads(
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/api/samples").read()
+            )["tokens"]
+            assert len(tokens) == 2
+
+            sample = json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/sample?token={tokens[0]}&max_points=500"
+                ).read()
+            )
+            assert len(sample["points"]) == 500
+            assert len(sample["gt_boxes"]) == 6
+
+            img = json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/bev_image?token={tokens[0]}"
+                ).read()
+            )
+            png = base64.b64decode(img["png_base64"])
+            assert png[:4] == b"\x89PNG"
+        finally:
+            server.shutdown()
