@@ -215,15 +215,39 @@ def bev_rasterize_pallas(
     return out.reshape(h, w, c)
 
 
+def bev_rasterize_sort(
+    points,
+    valid,
+    shape: Tuple[int, int, int] = DEFAULT_SHAPE,
+    voxel_size=DEFAULT_VOXEL_SIZE,
+    z_offset: float = DEFAULT_Z_OFFSET,
+):
+    """Sort-histogram formulation: sort the N flat cell ids once, then each
+    cell's count is the difference of two binary searches. O(N log N) total —
+    no N×cells matmul FLOPs, no serialized scatter; the fastest variant for
+    large grids."""
+    h, w, c = shape
+    n = points.shape[0]
+    ncells = h * w * c
+    row, col, ch, inb = voxel_indices(points, shape, voxel_size, z_offset)
+    ok = inb & valid
+    flat = jnp.where(ok, (row * w + col) * c + ch, ncells)
+    sorted_ids = jnp.sort(flat)
+    bounds = jnp.searchsorted(sorted_ids, jnp.arange(ncells + 1, dtype=jnp.int32))
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.float32)
+    return counts.reshape(h, w, c)
+
+
 def bev_rasterize(points, valid, shape=DEFAULT_SHAPE, voxel_size=DEFAULT_VOXEL_SIZE,
                   z_offset=DEFAULT_Z_OFFSET, backend: str = "auto"):
-    """Dispatch: Pallas on TPU, scatter elsewhere."""
+    """Dispatch: sort-histogram on TPU, scatter elsewhere."""
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "scatter"
+        backend = "sort" if jax.default_backend() == "tpu" else "scatter"
     fn = {
         "scatter": bev_rasterize_scatter,
         "matmul": bev_rasterize_matmul,
         "pallas": bev_rasterize_pallas,
+        "sort": bev_rasterize_sort,
     }[backend]
     return fn(points, valid, shape, voxel_size, z_offset)
 

@@ -1,0 +1,253 @@
+"""PointRCNN training/eval driver over a KITTI-layout dataset.
+
+Capability of the reference's PointRCNN tooling:
+- ``KittiRCNNDataset.get_rpn_sample`` (kitti_rcnn_dataset.py:286-404):
+  lidar load, range filter, near/far-aware fixed-16384-point subsampling
+  (:327-343), scene augmentation, per-point labels;
+- the 4-part round-robin training loop (``tools/train_rcnn.py:285-342``) via
+  ``data.splits.split_parts``;
+- ``eval_one_epoch_*`` (``tools/eval_rcnn.py``): inference → NMS → KITTI
+  label files + recall stats + AP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyft3d_tpu.data.kitti import (
+    Calibration,
+    Object3d,
+    box_camera_to_lidar,
+    box_lidar_to_camera,
+    read_label_file,
+    write_label_file,
+)
+from lyft3d_tpu.data.splits import split_parts
+from lyft3d_tpu.models.pointrcnn.net import (
+    PointRCNN,
+    PointRCNNConfig,
+    PointRCNN_RPN,
+    proposal_target_layer,
+    rcnn_loss,
+    rpn_loss,
+    rpn_point_labels,
+)
+from lyft3d_tpu.train.optim import build_optimizer
+
+
+@dataclass
+class KittiLoaderConfig:
+    num_points: int = 16384
+    near_radius: float = 40.0
+    classes: tuple = ("car",)
+    range_xyz: tuple = (80.0, 80.0, 5.0)
+    max_gt: int = 32
+
+
+class KittiPointRCNNLoader:
+    """KITTI tree (velodyne/, calib/, label_2/) → fixed-size training arrays."""
+
+    def __init__(self, root, cfg: KittiLoaderConfig = KittiLoaderConfig(), seed: int = 0):
+        self.root = Path(root)
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.stems = sorted(p.stem for p in (self.root / "velodyne").glob("*.bin"))
+
+    def subsample(self, pts: np.ndarray) -> np.ndarray:
+        """Near/far-stratified fixed-count subsampling (:327-343): keep all
+        far points, fill the quota with random near points."""
+        n = self.cfg.num_points
+        if len(pts) <= n:
+            pad = np.zeros((n - len(pts), pts.shape[1]), pts.dtype)
+            return np.concatenate([pts, pad]), len(pts)
+        dist = np.linalg.norm(pts[:, :2], axis=1)
+        far = dist >= self.cfg.near_radius
+        far_idx = np.flatnonzero(far)
+        near_idx = np.flatnonzero(~far)
+        if len(far_idx) >= n:
+            pick = self.rng.choice(far_idx, n, replace=False)
+        else:
+            extra = self.rng.choice(near_idx, n - len(far_idx), replace=False)
+            pick = np.concatenate([far_idx, extra])
+        return pts[pick], n
+
+    def sample(self, stem: str) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        raw = np.fromfile(self.root / "velodyne" / f"{stem}.bin", np.float32).reshape(-1, 4)
+        rx, ry, rz = cfg.range_xyz
+        keep = (
+            (np.abs(raw[:, 0]) < rx) & (np.abs(raw[:, 1]) < ry) & (np.abs(raw[:, 2]) < rz)
+        )
+        pts, count = self.subsample(raw[keep])
+        valid = np.zeros(cfg.num_points, bool)
+        valid[:count] = True
+
+        calib = Calibration.from_file(self.root / "calib" / f"{stem}.txt")
+        objects = read_label_file(self.root / "label_2" / f"{stem}.txt")
+        gt = np.zeros((cfg.max_gt, 7), np.float32)
+        gt_valid = np.zeros(cfg.max_gt, bool)
+        names: List[str] = []
+        k = 0
+        for obj in objects:
+            if obj.cls_type not in cfg.classes or k >= cfg.max_gt:
+                continue
+            gt[k] = box_camera_to_lidar(obj.pos, (obj.h, obj.w, obj.l), obj.ry, calib)
+            gt_valid[k] = True
+            names.append(obj.cls_type)
+            k += 1
+        return {
+            "points": pts[:, :3].astype(np.float32),
+            "points_valid": valid,
+            "gt_boxes": gt,
+            "gt_valid": gt_valid,
+            "stem": stem,
+        }
+
+    def batch(self, stems: Sequence[str]) -> Dict[str, np.ndarray]:
+        ss = [self.sample(s) for s in stems]
+        return {
+            k: np.stack([s[k] for s in ss])
+            for k in ("points", "points_valid", "gt_boxes", "gt_valid")
+        }
+
+
+def make_rpn_step(model: PointRCNN_RPN, cfg: PointRCNNConfig, tx):
+    """One jitted RPN training step over a batch (vmap inside)."""
+
+    def loss_fn(params, batch):
+        def one(xyz, valid, gt, gt_valid):
+            labels, assigned = rpn_point_labels(xyz, gt, gt_valid)
+            feats = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
+            out = model.apply(params, xyz, feats, valid)
+            return rpn_loss(out, xyz, labels, assigned, gt, cfg)
+
+        losses, metrics = jax.vmap(one)(
+            batch["points"], batch["points_valid"], batch["gt_boxes"], batch["gt_valid"]
+        )
+        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return step
+
+
+def train_pointrcnn_rpn(
+    loader: KittiPointRCNNLoader,
+    cfg: PointRCNNConfig,
+    steps: int = 100,
+    batch_size: int = 2,
+    lr: float = 2e-3,
+    num_parts: int = 4,
+    seed: int = 0,
+):
+    """RPN training with the reference's 4-part round-robin over the split."""
+    model = PointRCNN_RPN(cfg)
+    b0 = loader.batch(loader.stems[:batch_size])
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(b0["points"][0]),
+        jnp.zeros((b0["points"].shape[1], 1)),
+        jnp.asarray(b0["points_valid"][0]),
+    )
+    tx = build_optimizer("adam_onecycle", lr, total_steps=steps)
+    opt_state = tx.init(params)
+    step = make_rpn_step(model, cfg, tx)
+
+    parts = split_parts(loader.stems, num_parts)
+    rng = np.random.RandomState(seed)
+    losses = []
+    i = 0
+    while i < steps:
+        for part in parts:  # round-robin (train_rcnn.py:288-342)
+            stems = list(part)
+            rng.shuffle(stems)
+            for j in range(0, max(len(stems) - batch_size + 1, 1), batch_size):
+                if i >= steps:
+                    break
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in loader.batch(stems[j : j + batch_size]).items()
+                }
+                params, opt_state, loss, metrics = step(params, opt_state, batch)
+                losses.append(float(loss))
+                i += 1
+    return model, params, losses
+
+
+def eval_pointrcnn(
+    model: PointRCNN,
+    params,
+    loader: KittiPointRCNNLoader,
+    cfg: PointRCNNConfig,
+    out_dir: Optional[str] = None,
+    class_name: str = "car",
+):
+    """Joint eval: proposals + RCNN scores → KITTI label files + frames for
+    the AP evaluator (eval_rcnn.py capability)."""
+    calib_cache: Dict[str, Calibration] = {}
+    gt_frames, det_frames = [], []
+
+    @jax.jit
+    def infer(xyz, valid):
+        return model.apply(params, xyz, None, valid)
+
+    for stem in loader.stems:
+        s = loader.sample(stem)
+        out = jax.device_get(
+            infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
+        )
+        rois = out["proposals"]["rois"]
+        roi_valid = out["proposals"]["roi_valid"]
+        scores = 1.0 / (1.0 + np.exp(-out["rcnn"]["cls"]))
+        scores = np.where(out["roi_empty"], 0.0, scores)
+
+        det_frames.append(
+            {
+                "boxes": rois,
+                "names": np.asarray([class_name] * len(rois)),
+                "scores": np.where(roi_valid, scores, 0.0),
+            }
+        )
+        g = s["gt_boxes"][s["gt_valid"]]
+        gt_frames.append(
+            {
+                "boxes": g,
+                "names": np.asarray([class_name] * len(g)),
+                "difficulty": np.zeros(len(g), np.int64),
+            }
+        )
+        if out_dir is not None:
+            calib = calib_cache.setdefault(
+                stem, Calibration.from_file(loader.root / "calib" / f"{stem}.txt")
+            )
+            objs = []
+            for i in range(len(rois)):
+                if not roi_valid[i] or scores[i] <= 0.01:
+                    continue
+                pos, ry = box_lidar_to_camera(np.asarray(rois[i], np.float64), calib)
+                objs.append(
+                    Object3d(
+                        cls_type=class_name.capitalize(), truncation=0.0, occlusion=0,
+                        alpha=0.0, box2d=np.array([0.0, 0.0, 50.0, 50.0]),
+                        h=float(rois[i][5]), w=float(rois[i][3]), l=float(rois[i][4]),
+                        pos=pos, ry=ry, score=float(scores[i]),
+                    )
+                )
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            write_label_file(Path(out_dir) / f"{stem}.txt", objs)
+    return gt_frames, det_frames

@@ -62,6 +62,14 @@ class TestRasterize:
         want = numpy_reference_counts(pts, valid, SMALL, DEFAULT_VOXEL_SIZE, DEFAULT_Z_OFFSET)
         np.testing.assert_array_equal(got, want)
 
+    def test_sort_matches_scatter(self, cloud):
+        from lyft3d_tpu.ops.bev_raster import bev_rasterize_sort
+
+        pts, valid = cloud
+        a = bev_rasterize_scatter(jnp.array(pts), jnp.array(valid), SMALL)
+        b = bev_rasterize_sort(jnp.array(pts), jnp.array(valid), SMALL)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_matmul_matches_scatter(self, cloud):
         pts, valid = cloud
         a = bev_rasterize_scatter(jnp.array(pts), jnp.array(valid), SMALL)
