@@ -36,4 +36,6 @@ def build_backbone(name: str, **kwargs):
         import lyft3d_tpu.models.backbones.efficientnet  # noqa: F401
     if name.startswith("dpn"):
         import lyft3d_tpu.models.backbones.dpn  # noqa: F401
+    if name.startswith("wide_resnet"):
+        import lyft3d_tpu.models.backbones.wide_resnet  # noqa: F401
     return BACKBONES[name](**kwargs)

@@ -90,6 +90,12 @@ def _dl101(n_classes: int = 10, **kw):
     return DeepLabV3Plus(backbone="seresnext101", n_classes=n_classes, **kw)
 
 
+@register_model("deeplab_wide_resnet38")
+def _dlw38(n_classes: int = 10, **kw):
+    """DeepWV3Plus capability (deepv3.py:208-297)."""
+    return DeepLabV3Plus(backbone="wide_resnet38", n_classes=n_classes, **kw)
+
+
 @register_model("deeplab_resnet50")
 def _dlr50(n_classes: int = 10, **kw):
     return DeepLabV3Plus(backbone="resnet50", n_classes=n_classes, **kw)

@@ -50,6 +50,11 @@ class PointRCNNConfig:
     num_proposals: int = 64
     nms_pre: int = 256
     proposal_nms_iou: float = 0.8
+    # distance-bucketed NMS (proposal_layer.py:59-125): the near bucket
+    # (< bucket_radius) gets near_fraction of the proposal quota.
+    distance_bucket: bool = False
+    bucket_radius: float = 40.0
+    near_fraction: float = 0.7
     # RCNN
     rcnn_coder: BinCoderConfig = field(
         default_factory=lambda: BinCoderConfig(loc_scope=1.5, loc_bin_size=0.5)
@@ -125,7 +130,19 @@ def proposal_layer(xyz, cls_logits, reg, valid, cfg: PointRCNNConfig):
     top_boxes = boxes[top_idx]
     bev = jnp.concatenate([top_boxes[:, 0:2], top_boxes[:, 3:5], top_boxes[:, 6:7]], -1)
     keep = rotated_nms(bev, top_scores, cfg.proposal_nms_iou, valid=top_scores > 0)
-    sel, sel_valid = select_top_k(keep, top_scores, cfg.num_proposals)
+
+    if cfg.distance_bucket:
+        # Near/far quota split (proposal_layer.py:59-125).
+        dist = jnp.linalg.norm(top_boxes[:, :2], axis=-1)
+        near = dist < cfg.bucket_radius
+        n_near = int(round(cfg.num_proposals * cfg.near_fraction))
+        n_far = cfg.num_proposals - n_near
+        sel_n, val_n = select_top_k(keep & near, top_scores, n_near)
+        sel_f, val_f = select_top_k(keep & ~near, top_scores, n_far)
+        sel = jnp.concatenate([sel_n, sel_f])
+        sel_valid = jnp.concatenate([val_n, val_f])
+    else:
+        sel, sel_valid = select_top_k(keep, top_scores, cfg.num_proposals)
     return {
         "rois": top_boxes[sel],
         "roi_scores": top_scores[sel],

@@ -240,9 +240,11 @@ def bev_rasterize_sort(
 
 def bev_rasterize(points, valid, shape=DEFAULT_SHAPE, voxel_size=DEFAULT_VOXEL_SIZE,
                   z_offset=DEFAULT_Z_OFFSET, backend: str = "auto"):
-    """Dispatch: sort-histogram on TPU, scatter elsewhere."""
+    """Dispatch. Measured on v5e (batch 8 × 65k pts, 336² grid): matmul
+    1.9 ms, scatter 4.1 ms, sort-histogram 343 ms (searchsorted lowers
+    poorly) — the MXU one-hot formulation wins on TPU; scatter elsewhere."""
     if backend == "auto":
-        backend = "sort" if jax.default_backend() == "tpu" else "scatter"
+        backend = "matmul" if jax.default_backend() == "tpu" else "scatter"
     fn = {
         "scatter": bev_rasterize_scatter,
         "matmul": bev_rasterize_matmul,

@@ -1,0 +1,94 @@
+"""Sharding/mesh tests on the 8-device virtual CPU platform."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lyft3d_tpu.models.pointrcnn.net import PointRCNNConfig, proposal_layer
+from lyft3d_tpu.ops.bin_coder import BinCoderConfig
+from lyft3d_tpu.parallel.mesh import (
+    data_parallel_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    tensor_parallel_params,
+)
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8, model_parallel=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        mesh = make_mesh(8)
+        assert mesh.shape == {"data": 8, "model": 1}
+
+    def test_shard_batch_places_on_data_axis(self):
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(16.0).reshape(16, 1)}
+        sharded = shard_batch(mesh, batch)
+        shard_shapes = {s.data.shape for s in sharded["x"].addressable_shards}
+        assert shard_shapes == {(2, 1)}
+
+    def test_replicate(self):
+        mesh = make_mesh(4)
+        tree = replicate(mesh, {"w": np.ones((3, 3))})
+        assert len(tree["w"].addressable_shards) >= 1
+        np.testing.assert_allclose(np.asarray(tree["w"]), 1.0)
+
+    def test_tensor_parallel_shards_wide_kernels(self):
+        mesh = make_mesh(8, model_parallel=2)
+        params = {
+            "conv": {"kernel": np.ones((3, 3, 64, 512), np.float32)},
+            "small": {"kernel": np.ones((3, 3, 8, 16), np.float32)},
+            "bias": {"bias": np.ones((512,), np.float32)},
+        }
+        placed = tensor_parallel_params(mesh, params, min_features=256)
+        wide = placed["conv"]["kernel"]
+        assert wide.sharding.spec == P(None, None, None, "model")
+        assert placed["small"]["kernel"].sharding.spec == P()
+
+    def test_psum_under_mesh(self):
+        # DP gradient all-reduce semantics: jit over sharded inputs reduces
+        # across the mesh without explicit collectives in user code.
+        mesh = make_mesh(8)
+        batch = shard_batch(mesh, {"x": np.arange(8.0)})
+
+        @jax.jit
+        def total(b):
+            return jnp.sum(b["x"] ** 2)
+
+        assert float(total(batch)) == float((np.arange(8.0) ** 2).sum())
+
+
+class TestDistanceBucketNMS:
+    def test_quota_split(self):
+        cfg = PointRCNNConfig(
+            num_proposals=10, nms_pre=64, distance_bucket=True,
+            bucket_radius=20.0, near_fraction=0.7,
+            rpn_coder=BinCoderConfig(),
+        )
+        rng = np.random.RandomState(0)
+        # 12 near points on a radius-10 ring, 12 far on radius-45 —
+        # well-separated so NMS keeps everything.
+        ang = np.linspace(0, 2 * np.pi, 13)[:12]
+        near_xy = np.stack([10 * np.cos(ang), 10 * np.sin(ang)], -1)
+        far_xy = np.stack([45 * np.cos(ang), 45 * np.sin(ang)], -1)
+        n = 24
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:12, :2] = near_xy
+        xyz[12:, :2] = far_xy
+        reg = np.zeros((n, cfg.rpn_coder.channels), np.float32)
+        cls = rng.uniform(1.0, 5.0, n).astype(np.float32)
+        out = proposal_layer(
+            jnp.asarray(xyz), jnp.asarray(cls), jnp.asarray(reg),
+            jnp.ones(n, bool), cfg,
+        )
+        rois = np.asarray(out["rois"])
+        valid = np.asarray(out["roi_valid"])
+        assert rois.shape == (10, 7)
+        dist = np.linalg.norm(rois[valid][:, :2], axis=1)
+        # 7 near slots, 3 far slots.
+        assert (dist < 25).sum() == 7
+        assert (dist >= 25).sum() == 3
