@@ -163,6 +163,32 @@ def cmd_train_second(args):
     train_second(exp, loader, tokens)
 
 
+def cmd_train_pointrcnn(args):
+    from lyft3d_tpu.models.pointrcnn.net import PointRCNNConfig
+    from lyft3d_tpu.pipelines.pointrcnn_train import (
+        KittiLoaderConfig,
+        KittiPointRCNNLoader,
+        train_pointrcnn_rpn,
+    )
+
+    loader = KittiPointRCNNLoader(
+        args.kitti_root,
+        KittiLoaderConfig(num_points=args.num_points,
+                          classes=tuple(args.classes.split(","))),
+    )
+    cfg = PointRCNNConfig()
+    model, params, losses = train_pointrcnn_rpn(
+        loader, cfg, steps=args.steps, batch_size=args.batch_size
+    )
+    print(f"final rpn loss: {losses[-1]:.4f}")
+
+
+def cmd_serve(args):
+    from lyft3d_tpu.serve.viewer import serve
+
+    serve(args.port)
+
+
 def cmd_eval_map(args):
     from lyft3d_tpu.eval.map_eval import evaluate_map
     from lyft3d_tpu.eval.submission import read_submission, records_from_detections
@@ -244,6 +270,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config")
     sp.add_argument("--set", nargs="*", default=[])
     sp.set_defaults(fn=cmd_train_second)
+
+    sp = sub.add_parser("train-pointrcnn")
+    sp.add_argument("--kitti-root", required=True)
+    sp.add_argument("--num-points", type=int, default=16384)
+    sp.add_argument("--classes", default="car")
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--batch-size", type=int, default=2)
+    sp.set_defaults(fn=cmd_train_pointrcnn)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--port", type=int, default=16666)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("eval-map")
     add_db_args(sp)

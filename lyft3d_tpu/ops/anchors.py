@@ -241,3 +241,61 @@ def assign_targets(
         "assigned_gt": assigned_gt,
         "max_iou": best_iou,
     }
+
+
+def tune_match_thresholds(
+    anchors,
+    anchor_class,
+    gt_samples,
+    class_ids,
+    candidate_thresholds=(0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6),
+    target_rate: float = 1.0,
+    similarity: str = "nearest",
+):
+    """Auto-tune per-class matched thresholds by anchors-per-GT rate.
+
+    Capability of ``helper_tune_target_assigner`` (second/pytorch/
+    train.py:584-691): sweep candidate thresholds over sample GT sets and
+    pick, per class, the highest threshold whose mean matched-anchor count
+    per GT is ≥ ``target_rate``.
+
+    Args:
+        gt_samples: list of (gt_boxes (G,7), gt_classes (G,)) numpy pairs.
+        class_ids: class ids (1-based) to tune.
+
+    Returns: {class_id: threshold}.
+    """
+    import numpy as np
+
+    abev = jnp.concatenate([anchors[:, 0:2], anchors[:, 3:5], anchors[:, 6:7]], -1)
+    sa = corners_to_standup_2d(box_corners_2d(abev))
+
+    rates = {cid: {t: [] for t in candidate_thresholds} for cid in class_ids}
+    for gt_boxes, gt_classes in gt_samples:
+        if len(gt_boxes) == 0:
+            continue
+        g = jnp.asarray(gt_boxes, jnp.float32)
+        gbev = jnp.concatenate([g[:, 0:2], g[:, 3:5], g[:, 6:7]], -1)
+        if similarity == "rotated":
+            iou = np.asarray(rotated_iou_bev(abev, gbev))
+        else:
+            sg = corners_to_standup_2d(box_corners_2d(gbev))
+            iou = np.asarray(standup_iou(sa, sg))
+        acls = np.asarray(anchor_class)
+        for cid in class_ids:
+            cols = np.flatnonzero(np.asarray(gt_classes) == cid)
+            if len(cols) == 0:
+                continue
+            sub = iou[acls == cid][:, cols]
+            for t in candidate_thresholds:
+                rates[cid][t].append((sub >= t).sum(axis=0).mean())
+
+    out = {}
+    for cid in class_ids:
+        best = candidate_thresholds[0]
+        for t in candidate_thresholds:
+            vals = rates[cid][t]
+            if vals and float(np.mean(vals)) >= target_rate:
+                best = t
+        out[cid] = float(best)
+    return out
