@@ -15,43 +15,14 @@ import jax.numpy as jnp
 __all__ = ["morph_open", "connected_components"]
 
 
-def _min_pool3(x):
-    """8-connected 3x3 min (separable: 1x3 then 3x1)."""
-    big = x
-    h = jnp.minimum(big, jnp.minimum(jnp.roll(big, 1, axis=1), jnp.roll(big, -1, axis=1)))
-    # jnp.roll wraps; mask wrap columns with +inf-ish handled by caller via
-    # sentinel padding — use explicit shift with pad instead:
-    return h
-
-
 def _shift_min(x, fill):
-    """Min over the 3x3 neighborhood with edge fill (no wraparound)."""
+    """Min over the 3x3 neighborhood with edge fill (no wraparound).
 
-    def sh(a, dy, dx):
-        return jnp.roll(a, (dy, dx), axis=(0, 1))
-
-    h, w = x.shape
-    out = x
-    padded = x
-    # Build shifted copies with proper edge handling via where-masks.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            shifted = sh(x, dy, dx)
-            valid = jnp.ones((h, w), bool)
-            if dy == 1:
-                valid &= rows > 0
-            if dy == -1:
-                valid &= rows < h - 1
-            if dx == 1:
-                valid &= cols > 0
-            if dx == -1:
-                valid &= cols < w - 1
-            out = jnp.minimum(out, jnp.where(valid, shifted, fill))
-    return out
+    One native min reduce_window (TPU pooling hardware path) instead of
+    eight roll+where pairs — measured ~an order of magnitude cheaper.
+    ``fill`` must be a static python number (reduce_window init value).
+    """
+    return jax.lax.reduce_window(x, int(fill), jax.lax.min, (3, 3), (1, 1), "SAME")
 
 
 def morph_open(mask, iterations: int = 1):
@@ -86,15 +57,17 @@ def morph_open(mask, iterations: int = 1):
     return x > 0.5
 
 
-def connected_components(fg, rounds: int = 8, sweeps_per_round: int = 2):
+def connected_components(fg, rounds: int = 6, sweeps_per_round: int = 4):
     """Label 8-connected components of a boolean (H, W) grid.
 
     Returns int32 labels: each foreground pixel gets the min flat index of
     its component (a stable component id); background pixels get H*W.
 
-    ``rounds`` alternates local min-propagation sweeps with pointer-jumping
-    (label = label[label]), giving exponential propagation — 8 rounds covers
-    components with path diameter up to ~2^8 × sweeps.
+    ``rounds`` alternates local min-propagation sweeps (native min-pool)
+    with pointer-jumping (label = label[label]); reach grows as
+    sweeps·2^rounds, so the defaults cover path diameters ≈ 256 px. The
+    gather-heavy compression step is the expensive part on TPU — hence few
+    rounds of several cheap pooling sweeps each.
     """
     h, w = fg.shape
     big = jnp.int32(h * w)
@@ -106,7 +79,7 @@ def connected_components(fg, rounds: int = 8, sweeps_per_round: int = 2):
 
     def round_body(_, labels):
         for _ in range(sweeps_per_round):
-            neigh = _shift_min(labels, big)
+            neigh = _shift_min(labels, h * w)
             labels = jnp.where(fg, jnp.minimum(labels, neigh), big)
         # Path compression: jump to the label of your label's pixel.
         flat = labels.reshape(-1)
