@@ -38,4 +38,6 @@ def build_backbone(name: str, **kwargs):
         import lyft3d_tpu.models.backbones.dpn  # noqa: F401
     if name.startswith("wide_resnet"):
         import lyft3d_tpu.models.backbones.wide_resnet  # noqa: F401
+    if name.startswith(("xception", "inception")):
+        import lyft3d_tpu.models.backbones.xception  # noqa: F401
     return BACKBONES[name](**kwargs)

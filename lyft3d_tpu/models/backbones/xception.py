@@ -1,0 +1,125 @@
+"""Xception and Inception-style encoders (flax, NHWC).
+
+Capability of the remaining reference modelzoo entries
+(``unet_baseline/models/modelzoo/xception.py`` (193),
+``inceptionV4.py`` (337), ``inceptionresnetv2.py`` (360)): depthwise-
+separable Xception blocks and multi-branch Inception mixes, exposed as
+4-stage encoders like every other backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lyft3d_tpu.models.backbones import register_backbone
+from lyft3d_tpu.models.layers import ConvNormAct, _num_groups
+
+
+class SeparableConv(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x = nn.Conv(cin, (3, 3), strides=(self.strides, self.strides),
+                    feature_group_count=cin, padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(x)
+        return x
+
+
+class XceptionBlock(nn.Module):
+    features: int
+    strides: int = 1
+    reps: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        skip = x
+        y = x
+        for i in range(self.reps):
+            y = nn.relu(y)
+            y = SeparableConv(self.features,
+                              strides=self.strides if i == self.reps - 1 else 1,
+                              dtype=self.dtype)(y)
+        if skip.shape[-1] != self.features or self.strides != 1:
+            skip = ConvNormAct(self.features, kernel=1, strides=self.strides,
+                               act=False, dtype=self.dtype)(skip)
+        return y + skip
+
+
+class Xception(nn.Module):
+    stage_features: Sequence[int] = (128, 256, 728, 1024)
+    middle_reps: int = 4  # reference middle flow has 8; 4 keeps it light
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype)(x)
+        feats = []
+        f1, f2, f3, f4 = self.stage_features
+        x = XceptionBlock(f1, strides=2, dtype=self.dtype)(x)
+        feats.append(x)  # /4
+        x = XceptionBlock(f2, strides=2, dtype=self.dtype)(x)
+        feats.append(x)  # /8
+        x = XceptionBlock(f3, strides=2, dtype=self.dtype)(x)
+        for _ in range(self.middle_reps):  # middle flow
+            x = XceptionBlock(f3, strides=1, reps=3, dtype=self.dtype)(x)
+        feats.append(x)  # /16
+        x = XceptionBlock(f4, strides=2, dtype=self.dtype)(x)
+        x = nn.relu(SeparableConv(f4 * 2, dtype=self.dtype)(x))
+        feats.append(x)  # /32
+        return tuple(feats)
+
+
+class InceptionMix(nn.Module):
+    """Multi-branch mix: 1x1 | 3x3 | double-3x3 | pool-1x1 (Inception-v4
+    style block A, compacted)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features // 4
+        b1 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
+        b2 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
+        b2 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b2)
+        b3 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
+        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b3)
+        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b3)
+        b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b4 = ConvNormAct(f, kernel=1, dtype=self.dtype)(b4)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionV4(nn.Module):
+    stage_features: Sequence[int] = (96, 192, 384, 1024)
+    blocks_per_stage: Sequence[int] = (1, 2, 3, 2)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype)(x)
+        feats = []
+        for f, n in zip(self.stage_features, self.blocks_per_stage):
+            x = ConvNormAct(f, kernel=3, strides=2, dtype=self.dtype)(x)
+            for _ in range(n):
+                x = InceptionMix(f, dtype=self.dtype)(x)
+            feats.append(x)
+        return tuple(feats)
+
+
+register_backbone("xception", lambda **kw: Xception(**kw))
+register_backbone("inception_v4", lambda **kw: InceptionV4(**kw))

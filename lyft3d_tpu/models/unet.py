@@ -129,5 +129,7 @@ for _b in (
     "efficientnet_b3",
     "efficientnet_b5",
     "dpn68",
+    "xception",
+    "inception_v4",
 ):
     register_model(f"unet_{_b}")(_make_backbone_unet(_b))
