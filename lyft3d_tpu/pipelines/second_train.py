@@ -128,10 +128,16 @@ def train_second(
 def evaluate_second(
     model, params, vcfg: VoxelNetConfig, loader: SecondSampleLoader,
     tokens: Sequence[str], class_names: Sequence[str],
+    measure_time: bool = False,
 ) -> List[dict]:
     """Run predict over tokens → world-frame detection records
-    (the evaluation_nusc path, nuscenes_dataset.py:346-400)."""
+    (the evaluation_nusc path, nuscenes_dataset.py:346-400). With
+    ``measure_time`` prints per-section averaged ms — the reference's
+    ``evaluate --measure_time=True`` mode (train.py:550-573)."""
+    from lyft3d_tpu.utils.profiler import SectionTimers
+
     anchors, _, _, acls = vcfg.make_anchors()
+    timers = SectionTimers(enabled=measure_time)
 
     @jax.jit
     def infer(points, valid):
@@ -146,13 +152,24 @@ def evaluate_second(
 
     records: List[dict] = []
     for tok in tokens:
-        s = loader.sample(tok, train=False)
-        det = jax.device_get(infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"])))
-        info = loader.infos[tok]
-        records.extend(
-            detections_to_world_records(
-                info, det["boxes"], det["scores"], det["classes"], det["valid"],
-                class_names,
+        with timers.section("prep"):
+            s = loader.sample(tok, train=False)
+        with timers.section("infer") as t:
+            det = infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
+            t.set_sentinel(det["scores"])
+        with timers.section("postprocess"):
+            det = jax.device_get(det)
+            info = loader.infos[tok]
+            records.extend(
+                detections_to_world_records(
+                    info, det["boxes"], det["scores"], det["classes"], det["valid"],
+                    class_names,
+                )
             )
+    if measure_time:
+        avg = timers.averages_ms()
+        total = sum(timers.totals.values())
+        print(
+            f"sec_per_example: {total / max(len(tokens), 1):.4f} ({timers.report()})"
         )
     return records
