@@ -92,8 +92,13 @@ def train_bev(
     snapshot_config(cfg, cfg.model_dir)
     trainer = Trainer(model, tx, loss_fn, tcfg, mesh=mesh, eval_fn=eval_fn)
     state = trainer.init_or_resume(replicate(mesh, params))
-    batches = batch_iterator(
-        train_ds, cfg.batch_size, steps=opt.total_steps, seed=cfg.data.seed
+    from lyft3d_tpu.data.prefetch import ThreadedPrefetcher
+
+    batches = ThreadedPrefetcher(
+        lambda: batch_iterator(
+            train_ds, cfg.batch_size, steps=opt.total_steps, seed=cfg.data.seed
+        ),
+        depth=4,
     )
-    state = trainer.fit(state, batches)
+    state = trainer.fit(state, iter(batches))
     return state, model

@@ -121,7 +121,9 @@ def train_second(
                 b = loader.batch(toks[i : i + exp.batch_size], train=True)
                 yield {k: jnp.asarray(v) for k, v in b.items()}
 
-    state = trainer.fit(state, batches())
+    from lyft3d_tpu.data.prefetch import ThreadedPrefetcher
+
+    state = trainer.fit(state, iter(ThreadedPrefetcher(batches, depth=4)))
     return state, model, vcfg
 
 
