@@ -93,9 +93,17 @@ def mask_to_rotated_boxes(
     flat_idx = jnp.arange(h * w, dtype=jnp.int32)
     roots = (flat_labels == flat_idx) & fg.reshape(-1)
 
-    _, root_pos = jax.lax.top_k(roots.astype(jnp.float32), max_components)
-    root_valid = roots[root_pos]
-    root_label = flat_idx[root_pos]
+    # First-k roots by flat index via cumsum compaction (O(N), no sort —
+    # top_k over the whole grid was a measured hot spot on TPU).
+    root_rank = jnp.cumsum(roots) - 1
+    slot = jnp.where(roots & (root_rank < max_components), root_rank, max_components)
+    root_pos = (
+        jnp.zeros((max_components + 1,), jnp.int32)
+        .at[slot]
+        .set(flat_idx, mode="drop")[:max_components]
+    )
+    root_valid = jnp.arange(max_components) < jnp.sum(roots)
+    root_label = root_pos
 
     # ONE global sort groups every component's pixels contiguously; per-
     # component work is then cheap segment gathers (vs. a per-component
