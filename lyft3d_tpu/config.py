@@ -157,6 +157,7 @@ class DataConfig:
 @dataclass
 class BEVExperiment:
     model: str = "unet_seresnext101"
+    model_kwargs: Dict[str, int] = field(default_factory=dict)
     n_classes: int = 10
     bev_shape: Tuple[int, int, int] = (336, 336, 3)
     voxel_size: Tuple[float, float, float] = (0.4, 0.4, 1.5)

@@ -16,8 +16,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
-           "tensor_parallel_params"]
+__all__ = ["make_mesh", "make_data_mesh", "shard_batch", "replicate",
+           "data_parallel_sharding", "tensor_parallel_params"]
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
@@ -27,6 +27,13 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     assert n % model_parallel == 0, (n, model_parallel)
     grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, axis_names=("data", "model"))
+
+
+def make_data_mesh(batch_size: int, n_devices: Optional[int] = None) -> Mesh:
+    """Largest data-parallel mesh that divides ``batch_size`` evenly."""
+    avail = n_devices or len(jax.devices())
+    n = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    return make_mesh(n)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -20,7 +20,7 @@ import numpy as np
 from lyft3d_tpu.config import BEVExperiment, snapshot_config
 from lyft3d_tpu.data.bev_dataset import BEVImageDataset, batch_iterator
 from lyft3d_tpu.models import build_model
-from lyft3d_tpu.parallel.mesh import make_mesh, replicate
+from lyft3d_tpu.parallel.mesh import make_data_mesh, make_mesh, replicate
 from lyft3d_tpu.train.losses import bev_segmentation_loss
 from lyft3d_tpu.train.optim import build_optimizer
 from lyft3d_tpu.train.trainer import Trainer, TrainerConfig
@@ -48,7 +48,7 @@ def train_bev(
     train_ds = BEVImageDataset(bev_dir, train_tokens, with_map=cfg.with_map, augment=True)
     val_ds = BEVImageDataset(bev_dir, val_tokens, with_map=cfg.with_map, augment=False)
 
-    model = build_model(cfg.model, n_classes=cfg.n_classes, dtype=dtype)
+    model = build_model(cfg.model, n_classes=cfg.n_classes, dtype=dtype, **cfg.model_kwargs)
     in_ch = 6 if cfg.with_map else 3
     h, w, _ = cfg.bev_shape
     params = jax.jit(model.init)(
@@ -69,7 +69,7 @@ def train_bev(
         )
         return total, comps
 
-    mesh = make_mesh(n_devices)
+    mesh = make_data_mesh(cfg.batch_size, n_devices)
 
     def eval_fn(state):
         losses = []

@@ -23,7 +23,7 @@ from lyft3d_tpu.models.second.voxelnet import (
 )
 from lyft3d_tpu.ops.anchors import AnchorSpec, assign_targets
 from lyft3d_tpu.ops.voxelize import VoxelGrid, voxelize
-from lyft3d_tpu.parallel.mesh import make_mesh, replicate
+from lyft3d_tpu.parallel.mesh import make_data_mesh, make_mesh, replicate
 from lyft3d_tpu.pipelines.second_pipeline import (
     SecondSampleLoader,
     detections_to_world_records,
@@ -103,7 +103,7 @@ def train_second(
         opt.name, opt.lr, total_steps=opt.total_steps, weight_decay=opt.weight_decay,
         clip_norm=opt.clip_norm, grad_accum=opt.grad_accum,
     )
-    mesh = make_mesh(n_devices)
+    mesh = make_data_mesh(exp.batch_size, n_devices)
     tcfg = TrainerConfig(
         model_dir=exp.model_dir, total_steps=opt.total_steps, log_every=log_every,
         eval_every=0, ckpt_every=max(opt.total_steps // 4, 1),
