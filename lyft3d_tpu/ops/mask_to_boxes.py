@@ -75,7 +75,7 @@ def mask_to_rotated_boxes(
     max_pixels: int = 1024,
     n_angles: int = 90,
     min_pixels: int = 2,
-    cc_rounds: int = 8,
+    cc_sweeps: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Boolean (H, W) mask → up to ``max_components`` oriented boxes.
 
@@ -88,7 +88,7 @@ def mask_to_rotated_boxes(
     h, w = fg.shape
     max_components = min(max_components, h * w)
     max_pixels = min(max_pixels, h * w)
-    labels = connected_components(fg, rounds=cc_rounds)
+    labels = connected_components(fg, sweeps=cc_sweeps)
     flat_labels = labels.reshape(-1)
     flat_idx = jnp.arange(h * w, dtype=jnp.int32)
     roots = (flat_labels == flat_idx) & fg.reshape(-1)

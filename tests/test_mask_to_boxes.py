@@ -46,7 +46,7 @@ class TestConnectedComponents:
             if r % 2 == 0:
                 fg[r, 0] = fg[r, 1] = False if r > 0 else fg[r, 0]
         fg[0, :] = True
-        comps = labels_np(connected_components(jnp.array(fg), rounds=10), fg)
+        comps = labels_np(connected_components(jnp.array(fg), sweeps=16, compress_rounds=6), fg)
         assert len(comps) == 1
 
     def test_empty(self):
