@@ -155,9 +155,15 @@ def cmd_train_second(args):
     db = _db(args)
     infos = load_infos(args.infos)
     class_names = [a.class_name for a in exp.anchors]
+    db_sampler = None
+    if args.gtdb and exp.db_sampler_quota:
+        from lyft3d_tpu.data.augment import DataBaseSampler, GTDatabase
+
+        db_sampler = DataBaseSampler(GTDatabase(args.gtdb), exp.db_sampler_quota)
     loader = SecondSampleLoader(
         db, infos, class_names,
         LoaderConfig(num_sweeps=exp.num_sweeps, max_points=exp.data.max_points),
+        db_sampler=db_sampler,
     )
     tokens = [i["token"] for i in infos]
     train_second(exp, loader, tokens)
@@ -267,6 +273,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("train-second")
     add_db_args(sp)
     sp.add_argument("--infos", required=True)
+    sp.add_argument("--gtdb", help="GT database dir for copy-paste augmentation")
     sp.add_argument("--config")
     sp.add_argument("--set", nargs="*", default=[])
     sp.set_defaults(fn=cmd_train_second)
