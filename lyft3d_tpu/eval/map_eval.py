@@ -174,8 +174,13 @@ def evaluate_map(
     predictions: List[dict],
     class_names: Sequence[str] = None,
     iou_thresholds: Sequence[float] = None,
+    n_workers: int = 1,
 ) -> Tuple[float, Dict[str, Dict[float, float]]]:
     """Full Lyft metric: mean over classes and IoU ∈ {0.5, 0.55, …, 0.95}.
+
+    ``n_workers > 1`` evaluates thresholds in parallel processes — the
+    reference's per-threshold multiprocessing (``nusc_eval.py:44-109``, one
+    Process per IoU threshold).
 
     Returns ``(overall_map, per_class)`` where ``per_class[name][thr] = AP``.
     """
@@ -183,13 +188,25 @@ def evaluate_map(
         class_names = get_class_names(gt)
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 1.0, 0.05)
+    iou_thresholds = [float(t) for t in iou_thresholds]
+
+    if n_workers > 1:
+        import multiprocessing
+
+        with multiprocessing.Pool(min(n_workers, len(iou_thresholds))) as pool:
+            all_aps = pool.starmap(
+                get_average_precisions,
+                [(gt, predictions, class_names, t) for t in iou_thresholds],
+            )
+    else:
+        all_aps = [
+            get_average_precisions(gt, predictions, class_names, t)
+            for t in iou_thresholds
+        ]
 
     per_class: Dict[str, Dict[float, float]] = {c: {} for c in class_names}
-    all_aps = []
-    for thr in iou_thresholds:
-        aps = get_average_precisions(gt, predictions, class_names, float(thr))
+    for thr, aps in zip(iou_thresholds, all_aps):
         for c, ap in zip(class_names, aps):
-            per_class[c][float(thr)] = float(ap)
-        all_aps.append(aps)
+            per_class[c][thr] = float(ap)
     overall = float(np.mean(np.stack(all_aps)))
     return overall, per_class
