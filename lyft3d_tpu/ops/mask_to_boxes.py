@@ -116,14 +116,20 @@ def mask_to_rotated_boxes(
 
     cols = (flat_idx % w).astype(jnp.float32) + 0.5
     rows = (flat_idx // w).astype(jnp.float32) + 0.5
+    # Materialize pixel coords in sorted-label order ONCE (two big gathers);
+    # per-component access is then contiguous dynamic slices — far cheaper
+    # than 64×max_pixels random gathers on TPU.
+    pad = jnp.zeros((max_pixels,), jnp.float32)
+    cols_sorted = jnp.concatenate([cols[order], pad])
+    rows_sorted = jnp.concatenate([rows[order], pad])
 
     seg = jnp.arange(max_pixels, dtype=jnp.int32)
 
     def per_component(rlab, rvalid, start, count):
-        gather = jnp.clip(start + seg, 0, h * w - 1)
-        pix = order[gather]
         weight = ((seg < count) & rvalid).astype(jnp.float32)
-        coords = jnp.stack([cols[pix], rows[pix]], axis=-1)
+        c_seg = jax.lax.dynamic_slice_in_dim(cols_sorted, start, max_pixels)
+        r_seg = jax.lax.dynamic_slice_in_dim(rows_sorted, start, max_pixels)
+        coords = jnp.stack([c_seg, r_seg], axis=-1)
         cx, cy, bw, bl, ang = _component_box(coords, weight, n_angles)
         wsum = jnp.maximum(jnp.sum(weight), 1.0)
         centroid = (
