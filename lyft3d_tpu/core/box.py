@@ -10,13 +10,12 @@ forward (length ``l``), y left (width ``w``), z up (height ``h``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from lyft3d_tpu.core.quaternion import (
     quat_multiply,
-    quat_rotate,
     quat_to_rotation_matrix,
     quaternion_yaw,
 )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pickle
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

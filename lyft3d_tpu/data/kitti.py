@@ -25,8 +25,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from lyft3d_tpu.core.quaternion import quaternion_yaw
-
 __all__ = ["Calibration", "Object3d", "read_label_file", "write_label_file",
            "box_lidar_to_camera", "box_camera_to_lidar", "export_kitti"]
 

@@ -13,8 +13,7 @@ row-major points feed the fixed-capacity device buffers directly.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

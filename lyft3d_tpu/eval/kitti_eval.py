@@ -12,7 +12,7 @@ numba-CUDA polygon kernels. AP is interpolated precision averaged over 41
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

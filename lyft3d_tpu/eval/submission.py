@@ -10,9 +10,7 @@ parser (capability of ``data_transform/kaggle2nuscenes.py``).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, List
-
-import numpy as np
+from typing import Dict, List
 
 from lyft3d_tpu.core.quaternion import quat_from_yaw
 

@@ -9,7 +9,7 @@ params, nearest/bilinear resize via ``jax.image``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

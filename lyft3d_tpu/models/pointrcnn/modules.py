@@ -9,7 +9,7 @@ shared MLP → max-pool; ``PointnetSAModule:95``; ``PointnetFPModule:116``
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ All unbatched with fixed capacities; vmap over the batch outside.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -279,8 +279,6 @@ def rpn_point_labels(xyz, gt_boxes, gt_valid, extra_width: float = 0.2):
     (generate_rpn_training_labels, kitti_rcnn_dataset.py:407-437):
     1 inside a GT box, −1 (ignore) in the enlarged margin, 0 background.
     """
-    from lyft3d_tpu.ops.pointnet2 import _first_k_true  # noqa: F401 (doc)
-
     def member(boxes, extra):
         d = xyz[None, :, :] - boxes[:, None, :3]
         c, s = jnp.cos(boxes[:, 6]), jnp.sin(boxes[:, 6])

@@ -8,7 +8,7 @@ zero-pad stem :468).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

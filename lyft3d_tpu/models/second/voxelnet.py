@@ -10,8 +10,8 @@ functions so the same graph jits for train and eval.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,13 +18,13 @@ and return ``(logits (N, H, W, n_classes), aux_logits (N, n_classes))``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from lyft3d_tpu.models.backbones import build_backbone
-from lyft3d_tpu.models.layers import ASPP, ConvNormAct, SEModule, UpBlock, resize_to, upsample2x
+from lyft3d_tpu.models.layers import ASPP, ConvNormAct, UpBlock, resize_to, upsample2x
 from lyft3d_tpu.models.registry import register_model
 
 

@@ -29,7 +29,6 @@ All functions take fixed-capacity padded point buffers + a valid mask.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -15,9 +15,6 @@ features are (N, C).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,7 @@ import numpy as np
 from lyft3d_tpu.config import BEVExperiment, snapshot_config
 from lyft3d_tpu.data.bev_dataset import BEVImageDataset, batch_iterator
 from lyft3d_tpu.models import build_model
-from lyft3d_tpu.parallel.mesh import make_data_mesh, make_mesh, replicate
+from lyft3d_tpu.parallel.mesh import make_data_mesh, replicate
 from lyft3d_tpu.train.losses import bev_segmentation_loss
 from lyft3d_tpu.train.optim import build_optimizer
 from lyft3d_tpu.train.trainer import Trainer, TrainerConfig

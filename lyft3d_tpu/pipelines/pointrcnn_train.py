@@ -33,8 +33,6 @@ from lyft3d_tpu.models.pointrcnn.net import (
     PointRCNN,
     PointRCNNConfig,
     PointRCNN_RPN,
-    proposal_target_layer,
-    rcnn_loss,
     rpn_loss,
     rpn_point_labels,
 )

@@ -21,17 +21,15 @@ from __future__ import annotations
 
 import pickle
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from lyft3d_tpu.core.quaternion import quat_from_yaw, quat_inverse, quat_multiply, quaternion_yaw
+from lyft3d_tpu.core.quaternion import quat_from_yaw
 from lyft3d_tpu.data.augment import (
     DataBaseSampler,
     global_rotation,
     global_scaling,
-    global_translate,
     noise_per_object,
     random_flip,
 )

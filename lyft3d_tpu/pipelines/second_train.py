@@ -23,7 +23,7 @@ from lyft3d_tpu.models.second.voxelnet import (
 )
 from lyft3d_tpu.ops.anchors import AnchorSpec, assign_targets
 from lyft3d_tpu.ops.voxelize import VoxelGrid, voxelize
-from lyft3d_tpu.parallel.mesh import make_data_mesh, make_mesh, replicate
+from lyft3d_tpu.parallel.mesh import make_data_mesh, replicate
 from lyft3d_tpu.pipelines.second_pipeline import (
     SecondSampleLoader,
     detections_to_world_records,

@@ -11,8 +11,6 @@ Capability of the reference's loss zoo:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ train_utils/, second/torchplus/train/): one optax implementation.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

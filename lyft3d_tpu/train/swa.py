@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 
 from lyft3d_tpu.train import checkpoint as ckpt
 

@@ -15,9 +15,8 @@ consumes: ``loss_fn(model, params, batch, rng) -> (loss, metrics_dict)``.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from lyft3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from lyft3d_tpu.parallel.mesh import make_mesh, shard_batch
 from lyft3d_tpu.train import checkpoint as ckpt
 from lyft3d_tpu.train.logging import MetricLog
 

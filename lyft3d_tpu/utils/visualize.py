@@ -8,7 +8,7 @@ draw rotated boxes with cv2 polylines.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
