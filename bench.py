@@ -115,6 +115,52 @@ def main() -> None:
     dt = max(t_long - t_short, 1e-9)
     sweeps_per_sec = BATCH * ITERS / dt
 
+    # Secondary: the TPU-optimal flagship variant. The reference's
+    # seresnext101 uses cardinality-32 grouped convs whose 16-wide group
+    # outputs cap MXU lane utilization at ~1/8 (measured: seresnext101
+    # backbone 27.3 ms vs resnet50 2.0 ms at comparable FLOPs, batch 8);
+    # resnet50-UNet is the dense-conv alternative this framework recommends
+    # on TPU.
+    model50 = build_model("unet_resnet50", n_classes=10, dtype=jnp.bfloat16)
+    params50 = jax.jit(model50.init)(jax.random.PRNGKey(0), x0)
+
+    def e2e50(params, points, valid, map_ch):
+        def raster_one(p, v):
+            return normalize_bev(
+                bev_rasterize_matmul(p, v, cfg.shape, cfg.voxel_size, cfg.z_offset)
+            )
+
+        lidar = jax.vmap(raster_one)(points, valid)
+        map3 = jnp.repeat(map_ch[..., None], 3, axis=-1)
+        xx = jnp.concatenate([lidar, map3], axis=-1)
+        logits, _ = model50.apply(params, xx)
+        probs = jax.nn.softmax(logits, axis=-1)
+        det = jax.vmap(
+            lambda pr: extract_detections(pr, max_components=64, max_pixels=512)
+        )(probs)
+        return det["boxes_px"], det["box_valid"], det["scores"], det["detect"]
+
+    def repeated50(params, points, valid, map_ch, iters):
+        def body(i, acc):
+            p = points + (i.astype(jnp.float32) * 1e-6)
+            boxes, bvalid, scores, detect = e2e50(params, p, valid, map_ch)
+            return acc + jnp.sum(scores) + jnp.sum(boxes)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    repeated50 = jax.jit(repeated50, static_argnums=(4,))
+    float(repeated50(params50, points, valid, map_ch, 2))
+    float(repeated50(params50, points, valid, map_ch, 2 + ITERS))
+
+    def timed50(iters):
+        t0 = time.perf_counter()
+        float(repeated50(params50, points, valid, map_ch, iters))
+        return time.perf_counter() - t0
+
+    t_s50 = min(timed50(2) for _ in range(2))
+    t_l50 = min(timed50(2 + ITERS) for _ in range(2))
+    sweeps50 = BATCH * ITERS / max(t_l50 - t_s50, 1e-9)
+
     baseline_file = REPO / "CPU_BASELINE.json"
     if baseline_file.exists():
         baseline = json.loads(baseline_file.read_text())["sweeps_per_sec"]
@@ -134,6 +180,7 @@ def main() -> None:
             "batch": BATCH,
             "points_per_sweep": N_POINTS,
             "model": "unet_seresnext101 bf16 336x336x6",
+            "tpu_optimal_variant_unet_resnet50_sweeps_per_sec": round(sweeps50, 3),
             "cpu_baseline_sweeps_per_sec": baseline if baseline == baseline else None,
         },
     }
