@@ -64,6 +64,9 @@ class VoxelNetConfig:
     nms_post: int = 300
     nms_iou: float = 0.5
     score_threshold: float = 0.05
+    # True = suppress only within each class (box_torch_ops.multiclass_nms
+    # :405); False = one NMS across classes (the Lyft config's single-NMS).
+    per_class_nms: bool = False
 
     @property
     def feature_hw(self) -> Tuple[int, int]:
@@ -209,7 +212,19 @@ def voxelnet_predict(preds, anchors, anchor_class, cfg: VoxelNetConfig):
     bev = jnp.concatenate(
         [top_boxes[:, 0:2], top_boxes[:, 3:5], top_boxes[:, 6:7]], axis=-1
     )
-    keep = rotated_nms(bev, top_scores, cfg.nms_iou, valid=valid)
+    if cfg.per_class_nms:
+        # Suppress only same-class overlaps (multiclass_nms:405): zero out
+        # cross-class entries of the IoU matrix, one greedy sweep.
+        from lyft3d_tpu.ops.nms import nms_mask_from_iou
+        from lyft3d_tpu.ops.rotated_iou import rotated_iou_bev
+
+        iou = rotated_iou_bev(bev, bev)
+        same = top_class[:, None] == top_class[None, :]
+        keep = nms_mask_from_iou(
+            jnp.where(same, iou, 0.0), top_scores, cfg.nms_iou, valid=valid
+        )
+    else:
+        keep = rotated_nms(bev, top_scores, cfg.nms_iou, valid=valid)
     sel, sel_valid = select_top_k(keep, top_scores, cfg.nms_post)
 
     # Post-range filter (post_center_limit_range, :613-619).

@@ -270,3 +270,38 @@ class TestVoxelNet:
             params, opt, l = step(params, opt)
             losses.append(float(l))
         assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+
+
+class TestPerClassNMS:
+    def test_cross_class_overlap_survives(self):
+        """Two overlapping boxes of different classes both survive per-class
+        NMS but not single NMS."""
+        import dataclasses
+
+        spec2 = SPEC._replace(class_id=2)
+        base = dataclasses.replace(CFG, anchor_specs=(SPEC, spec2), nms_post=8)
+        anchors, mt, ut, acls = base.make_anchors()
+        gt1 = jnp.array([[2.0, 3.0, 0.0, 2.0, 4.0, 1.6, 0.0]], jnp.float32)
+        # Perfect predictions for the same location under each class's anchor.
+        tgt1 = assign_targets(anchors, acls, mt, ut, gt1, jnp.array([1], jnp.int32),
+                              jnp.array([True]))
+        tgt2 = assign_targets(anchors, acls, mt, ut, gt1, jnp.array([2], jnp.int32),
+                              jnp.array([True]))
+        pos = (tgt1["labels"] == 1) | (tgt2["labels"] == 2)
+        preds = {
+            "box": tgt1["bbox_targets"] + tgt2["bbox_targets"],
+            "cls": jnp.where(pos[:, None], 10.0, -10.0),
+            "dir": jnp.zeros((anchors.shape[0], 2)),
+        }
+        from lyft3d_tpu.models.second.voxelnet import voxelnet_predict
+
+        single = voxelnet_predict(preds, anchors, acls, base)
+        per_class = voxelnet_predict(
+            preds, anchors, acls, dataclasses.replace(base, per_class_nms=True)
+        )
+        n_single = int(np.asarray(single["valid"]).sum())
+        n_per_class = int(np.asarray(per_class["valid"]).sum())
+        assert n_per_class >= 2
+        assert n_single < n_per_class
+        classes = set(np.asarray(per_class["classes"])[np.asarray(per_class["valid"])].tolist())
+        assert {1, 2} <= classes
