@@ -41,6 +41,11 @@ class VoxelNetConfig:
     max_points_per_voxel: int = 20
     encoder: str = "pillars"  # simple | vfe | pillars
     encoder_features: Tuple[int, ...] = (64,)
+    # Middle extractor: "scatter" = PointPillars BEV scatter;
+    # "sparse" = SpMiddleFHD-style submanifold + strided sparse conv stack.
+    middle: str = "scatter"
+    middle_features: Tuple[int, ...] = (16, 32, 64)
+    middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
     anchor_specs: Tuple[AnchorSpec, ...] = (
         AnchorSpec(size=(1.93, 4.76, 1.72), z_center=-1.0,
                    matched_threshold=0.6, unmatched_threshold=0.45),
@@ -69,9 +74,14 @@ class VoxelNetConfig:
     per_class_nms: bool = False
 
     @property
+    def middle_downsample(self) -> int:
+        return 2 ** len(self.middle_features) if self.middle == "sparse" else 1
+
+    @property
     def feature_hw(self) -> Tuple[int, int]:
         nx, ny, _ = self.grid.grid_size
-        return (ny // self.rpn_strides[0], nx // self.rpn_strides[0])
+        ds = self.middle_downsample * self.rpn_strides[0]
+        return (ny // ds, nx // ds)
 
     @property
     def anchors_per_loc(self) -> int:
@@ -111,9 +121,18 @@ class VoxelNet(nn.Module):
             )
 
         feats = enc(voxels, num_points, coords)  # (B, V, C)
-        bev = jax.vmap(lambda f, c, vv: pillar_scatter(f, c, vv, (ny, nx)))(
-            feats, coords, voxel_valid
-        )
+        if cfg.middle == "sparse":
+            mid = nn.vmap(
+                _SparseMiddleBatch,
+                in_axes=(0, 0, 0),
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )(config=cfg, dtype=self.dtype)
+            bev = mid(feats, coords, voxel_valid)
+        else:
+            bev = jax.vmap(lambda f, c, vv: pillar_scatter(f, c, vv, (ny, nx)))(
+                feats, coords, voxel_valid
+            )
 
         preds = RPN(
             layer_nums=cfg.rpn_layer_nums,
@@ -134,6 +153,30 @@ class VoxelNet(nn.Module):
             "cls": preds["cls"].reshape(b, -1, cfg.num_classes),
             "dir": preds["dir"].reshape(b, -1, 2),
         }
+
+
+class _SparseMiddleBatch(nn.Module):
+    """Per-sample SpMiddleFHD stack over the 3D active-voxel set
+    (models/second/middle.py), vmapped with shared params."""
+
+    config: VoxelNetConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, coords, voxel_valid):
+        from lyft3d_tpu.models.second.middle import SparseMiddle
+        from lyft3d_tpu.ops.sparse_conv import ActiveSet
+
+        cfg = self.config
+        active = ActiveSet(
+            coords=coords, valid=voxel_valid, spatial_shape=cfg.grid.grid_size
+        )
+        bev, _ = SparseMiddle(
+            stage_features=cfg.middle_features,
+            stage_max_voxels=cfg.middle_max_voxels,
+            dtype=self.dtype,
+        )(feats, active)
+        return bev
 
 
 def voxelnet_loss(preds, targets, cfg: VoxelNetConfig):

@@ -305,3 +305,50 @@ class TestPerClassNMS:
         assert n_single < n_per_class
         classes = set(np.asarray(per_class["classes"])[np.asarray(per_class["valid"])].tolist())
         assert {1, 2} <= classes
+
+
+class TestSparseMiddleVoxelNet:
+    def test_fhd_style_forward_and_grad(self):
+        """VoxelNet with the sparse middle extractor (SpMiddleFHD path):
+        3D voxel grid → submanifold/strided sparse convs → dense BEV → RPN."""
+        import dataclasses
+
+        grid3d = VoxelGrid(
+            point_cloud_range=(-16, -16, -4, 16, 16, 4), voxel_size=(1.0, 1.0, 1.0)
+        )
+        cfg = dataclasses.replace(
+            CFG,
+            grid=grid3d,
+            max_voxels=512,
+            max_points_per_voxel=4,
+            encoder="simple",
+            middle="sparse",
+            middle_features=(8, 16),
+            middle_max_voxels=(256, 128),
+            rpn_layer_nums=(1,),
+            rpn_strides=(1,),
+            rpn_filters=(32,),
+            rpn_up_strides=(1,),
+            rpn_up_filters=(32,),
+        )
+        assert cfg.feature_hw == (8, 8)  # 32 / 2^2 middle / 1 rpn
+        model = VoxelNet(cfg, dtype=jnp.float32)
+        cloud = make_cloud([(2, 3, 0, 2, 4, 1.6, 0.3)])
+        vox = voxelize(jnp.array(cloud), jnp.ones(len(cloud), bool), grid3d,
+                       max_voxels=512, max_points_per_voxel=4)
+        inputs = tuple(
+            v[None] for v in (vox["voxels"], vox["num_points"], vox["coords"],
+                              vox["voxel_valid"])
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+        preds = jax.jit(model.apply)(params, *inputs)
+        anchors, *_ = cfg.make_anchors()
+        assert preds["box"].shape == (1, anchors.shape[0], 7)
+        assert np.isfinite(np.asarray(preds["box"])).all()
+
+        def lf(p):
+            out = model.apply(p, *inputs)
+            return jnp.mean(out["box"] ** 2) + jnp.mean(out["cls"] ** 2)
+
+        g = jax.jit(jax.grad(lf))(params)
+        assert np.isfinite(float(optax.global_norm(g)))
