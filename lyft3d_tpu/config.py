@@ -190,6 +190,7 @@ class SecondExperiment:
     max_voxels: int = 20000
     max_points_per_voxel: int = 20
     encoder: str = "pillars"
+    middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
     batch_size: int = 8
     num_sweeps: int = 10

@@ -71,15 +71,18 @@ def train_bev(
 
     mesh = make_data_mesh(cfg.batch_size, n_devices)
 
+    @jax.jit
+    def _eval_one(params, x, y):
+        logits, aux = model.apply(params, x)
+        total, _ = bev_segmentation_loss(logits, aux, y, class_weights, cfg.size_weight)
+        return total
+
     def eval_fn(state):
         losses = []
         for i in range(len(val_ds)):
             x, y = val_ds.load(i)
-            logits, aux = model.apply(state.params, jnp.asarray(x[None]))
-            total, comps = bev_segmentation_loss(
-                logits, aux, jnp.asarray(y[None]), class_weights, cfg.size_weight
-            )
-            losses.append(float(total))
+            losses.append(float(_eval_one(state.params, jnp.asarray(x[None]),
+                                          jnp.asarray(y[None]))))
         return {"loss": float(np.mean(losses))}
 
     tcfg = TrainerConfig(

@@ -52,6 +52,7 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         max_voxels=exp.max_voxels,
         max_points_per_voxel=exp.max_points_per_voxel,
         encoder=exp.encoder,
+        middle=exp.middle,
         anchor_specs=specs,
         **overrides,
     )
