@@ -208,3 +208,42 @@ class TestSlerp:
         np.testing.assert_allclose(quat_slerp(q0, q1, 1.0), q1, atol=1e-12)
         mid = quat_slerp(q0, q1, 0.5)
         assert abs(quaternion_yaw(mid) - 0.5) < 1e-9
+
+
+class TestMapChannelOrientation:
+    def test_rotated_ego_sees_vertical_band(self, tmp_path):
+        """The map is a horizontal road band (along world x). An ego facing
+        +y world (yaw=π/2) must see the band along its own x axis → in the
+        ego-frame BEV crop the band crosses COLUMNS near the center row...
+        specifically the drivable strip runs along the car's ±y direction,
+        i.e. appears as a vertical stripe of columns around the center.
+        Validates the rotation sign + flip of map_channel."""
+        from lyft3d_tpu.data.bev_pipeline import BEVConfig, BEVSampleGenerator
+        from lyft3d_tpu.data.synthetic import make_synthetic_lyft
+        from lyft3d_tpu.core.quaternion import quat_from_yaw
+
+        root = make_synthetic_lyft(tmp_path / "rot", num_scenes=1, samples_per_scene=1)
+        db = LyftDB(root, root / "data")
+        cfg = BEVConfig(shape=(64, 64, 3), voxel_size=(1.0, 1.0, 1.5),
+                        map_resolution=0.5)
+        gen = BEVSampleGenerator(db, cfg)
+        tok = db.sample[0]["token"]
+
+        # yaw = 0: road band along world x → along car x → map rows ~center.
+        m0 = gen.map_channel(tok)
+        assert m0.sum() > 0
+        row_profile = m0.mean(axis=1)  # (H,) band → peak near center rows
+        col_profile = m0.mean(axis=0)
+        assert row_profile.max() > 0.9  # some rows fully drivable
+        assert col_profile.max() < 0.9  # no column fully drivable (band is horizontal)
+
+        # Rotate the ego to face +y world.
+        sd_tok = db.get("sample", tok)["data"]["LIDAR_TOP"]
+        sd = db.get("sample_data", sd_tok)
+        pose = db.get("ego_pose", sd["ego_pose_token"])
+        pose["rotation"] = list(map(float, quat_from_yaw(np.pi / 2)))
+        m90 = gen.map_channel(tok)
+        row_profile = m90.mean(axis=1)
+        col_profile = m90.mean(axis=0)
+        assert col_profile.max() > 0.9  # band now vertical (along car y cols)
+        assert row_profile.max() < 0.9
