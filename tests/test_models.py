@@ -47,7 +47,10 @@ class TestUNets:
             "unet_seresnext101",
             "unet_dpn68",
             "unet_efficientnet_b5",
+            "unet_xception",
+            "unet_inception_v4",
             "deeplab_seresnext50",
+            "deeplab_wide_resnet38",
             "efficientnet_b3_unet",
         ):
             assert expected in names
