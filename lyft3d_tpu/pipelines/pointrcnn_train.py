@@ -49,12 +49,18 @@ class KittiLoaderConfig:
 
 
 class KittiPointRCNNLoader:
-    """KITTI tree (velodyne/, calib/, label_2/) → fixed-size training arrays."""
+    """KITTI tree (velodyne/, calib/, label_2/) → fixed-size training arrays.
 
-    def __init__(self, root, cfg: KittiLoaderConfig = KittiLoaderConfig(), seed: int = 0):
+    Optional ``db_sampler`` applies GT copy-paste augmentation before
+    subsampling (``apply_gt_aug_to_one_scene``, kitti_rcnn_dataset.py:450).
+    """
+
+    def __init__(self, root, cfg: KittiLoaderConfig = KittiLoaderConfig(), seed: int = 0,
+                 db_sampler=None):
         self.root = Path(root)
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
+        self.db_sampler = db_sampler
         self.stems = sorted(p.stem for p in (self.root / "velodyne").glob("*.bin"))
 
     def subsample(self, pts: np.ndarray) -> np.ndarray:
@@ -88,16 +94,40 @@ class KittiPointRCNNLoader:
 
         calib = Calibration.from_file(self.root / "calib" / f"{stem}.txt")
         objects = read_label_file(self.root / "label_2" / f"{stem}.txt")
+        raw_boxes, raw_names = [], []
+        for obj in objects:
+            if obj.cls_type not in cfg.classes:
+                continue
+            raw_boxes.append(
+                box_camera_to_lidar(obj.pos, (obj.h, obj.w, obj.l), obj.ry, calib)
+            )
+            raw_names.append(obj.cls_type)
+        boxes_arr = (
+            np.stack(raw_boxes) if raw_boxes else np.zeros((0, 7), np.float64)
+        )
+        names_arr = np.asarray(raw_names)
+
+        if self.db_sampler is not None:
+            extra = self.db_sampler.sample_all(boxes_arr, names_arr)
+            if extra is not None:
+                boxes_arr = np.concatenate([boxes_arr, extra["boxes"]])
+                names_arr = np.concatenate([names_arr, extra["names"]])
+                # Paste the sampled crops into the (already subsampled)
+                # point buffer by replacing random background slots.
+                paste = extra["points"][:, :3].astype(np.float32)
+                n_paste = min(len(paste), pts.shape[0] // 4)
+                if n_paste:
+                    slots = self.rng.choice(pts.shape[0], n_paste, replace=False)
+                    pts[slots] = paste[:n_paste]
+
         gt = np.zeros((cfg.max_gt, 7), np.float32)
         gt_valid = np.zeros(cfg.max_gt, bool)
-        names: List[str] = []
         k = 0
-        for obj in objects:
-            if obj.cls_type not in cfg.classes or k >= cfg.max_gt:
-                continue
-            gt[k] = box_camera_to_lidar(obj.pos, (obj.h, obj.w, obj.l), obj.ry, calib)
+        for b in boxes_arr:
+            if k >= cfg.max_gt:
+                break
+            gt[k] = b
             gt_valid[k] = True
-            names.append(obj.cls_type)
             k += 1
         return {
             "points": pts[:, :3].astype(np.float32),
@@ -194,9 +224,11 @@ def eval_pointrcnn(
     cfg: PointRCNNConfig,
     out_dir: Optional[str] = None,
     class_name: str = "car",
+    recall_thresholds: Sequence[float] = (0.1, 0.3, 0.5, 0.7),
+    verbose: bool = False,
 ):
     """Joint eval: proposals + RCNN scores → KITTI label files + frames for
-    the AP evaluator (eval_rcnn.py capability)."""
+    the AP evaluator, with recall@IoU stats (eval_rcnn.py:440-463)."""
     calib_cache: Dict[str, Calibration] = {}
     gt_frames, det_frames = [], []
 
@@ -248,4 +280,12 @@ def eval_pointrcnn(
                 )
             Path(out_dir).mkdir(parents=True, exist_ok=True)
             write_label_file(Path(out_dir) / f"{stem}.txt", objs)
+    if verbose:
+        from lyft3d_tpu.eval.kitti_eval import recall_at
+
+        stats = {
+            f"recall@{t}": round(recall_at(gt_frames, det_frames, class_name, t), 4)
+            for t in recall_thresholds
+        }
+        print(f"eval {class_name}: {stats}")
     return gt_frames, det_frames

@@ -108,3 +108,33 @@ class TestTrainEval:
         assert 0.0 <= rec <= 1.0
         label_files = list((tmp_path / "labels").glob("*.txt"))
         assert len(label_files) == 3
+
+
+class TestGTAug:
+    def test_db_sampler_pastes_objects(self, kitti_root, tmp_path):
+        import numpy as np
+
+        from lyft3d_tpu.data.augment import DataBaseSampler, create_gt_database
+
+        base = KittiPointRCNNLoader(kitti_root, KittiLoaderConfig(num_points=2048))
+        # Build a gt database from the loader's own frames.
+        samples = []
+        for stem in base.stems:
+            s = base.sample(stem)
+            samples.append(
+                {
+                    "points": np.concatenate(
+                        [s["points"], np.zeros((len(s["points"]), 1), np.float32)], -1
+                    ),
+                    "gt_boxes": s["gt_boxes"][s["gt_valid"]],
+                    "gt_names": np.array(["car"] * int(s["gt_valid"].sum())),
+                }
+            )
+        db = create_gt_database(tmp_path / "gtdb", samples, min_points=3)
+        sampler = DataBaseSampler(db, {"car": 12}, seed=0)
+        aug = KittiPointRCNNLoader(
+            kitti_root, KittiLoaderConfig(num_points=2048), db_sampler=sampler
+        )
+        s_aug = aug.sample(aug.stems[0])
+        s_plain = base.sample(base.stems[0])
+        assert s_aug["gt_valid"].sum() > s_plain["gt_valid"].sum()
