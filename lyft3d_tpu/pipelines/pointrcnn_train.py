@@ -118,7 +118,9 @@ class KittiPointRCNNLoader:
                 n_paste = min(len(paste), pts.shape[0] // 4)
                 if n_paste:
                     slots = self.rng.choice(pts.shape[0], n_paste, replace=False)
-                    pts[slots] = paste[:n_paste]
+                    pts[slots, :3] = paste[:n_paste]
+                    if pts.shape[1] > 3:
+                        pts[slots, 3:] = 0.0
 
         gt = np.zeros((cfg.max_gt, 7), np.float32)
         gt_valid = np.zeros(cfg.max_gt, bool)
