@@ -105,23 +105,22 @@ def mask_to_rotated_boxes(
     root_valid = jnp.arange(max_components) < jnp.sum(roots)
     root_label = root_pos
 
-    # ONE global sort groups every component's pixels contiguously; per-
-    # component work is then cheap segment gathers (vs. a per-component
-    # full-grid sort).
-    order = jnp.argsort(flat_labels).astype(jnp.int32)
-    sorted_labels = flat_labels[order]
+    # ONE global sort groups every component's pixels contiguously; the
+    # pixel indices ride along as a co-sorted operand (no argsort + gather).
+    sorted_labels, order = jax.lax.sort((flat_labels, flat_idx), num_keys=1)
     starts = jnp.searchsorted(sorted_labels, root_label).astype(jnp.int32)
     ends = jnp.searchsorted(sorted_labels, root_label, side="right").astype(jnp.int32)
     counts = jnp.where(root_valid, ends - starts, 0)
 
-    cols = (flat_idx % w).astype(jnp.float32) + 0.5
-    rows = (flat_idx // w).astype(jnp.float32) + 0.5
-    # Materialize pixel coords in sorted-label order ONCE (two big gathers);
-    # per-component access is then contiguous dynamic slices — far cheaper
-    # than 64×max_pixels random gathers on TPU.
+    # Pixel coords in sorted-label order are pure arithmetic on the sort
+    # permutation (order[i] IS the pixel's flat index) — no gathers at all.
     pad = jnp.zeros((max_pixels,), jnp.float32)
-    cols_sorted = jnp.concatenate([cols[order], pad])
-    rows_sorted = jnp.concatenate([rows[order], pad])
+    cols_sorted = jnp.concatenate(
+        [(order % w).astype(jnp.float32) + 0.5, pad]
+    )
+    rows_sorted = jnp.concatenate(
+        [(order // w).astype(jnp.float32) + 0.5, pad]
+    )
 
     seg = jnp.arange(max_pixels, dtype=jnp.int32)
 
