@@ -53,9 +53,11 @@ def main(steps: int = 400, out_dir: str = "/tmp/lyft3d_second_demo"):
         max_points_per_voxel=8,
         encoder="pillars",
         anchors=(
-            AnchorConfig("car", (1.93, 4.76, 1.72), 0.86, 0.45, 0.3),
-            AnchorConfig("bus", (2.96, 12.34, 3.44), 1.72, 0.45, 0.3),
-            AnchorConfig("truck", (2.84, 10.24, 3.44), 1.72, 0.45, 0.3),
+            # z centers in the SENSOR frame: box center = h/2 − lidar
+            # mount height (1.8 m in the synthetic rig).
+            AnchorConfig("car", (1.93, 4.76, 1.72), -0.94, 0.45, 0.3),
+            AnchorConfig("bus", (2.96, 12.34, 3.44), -0.08, 0.45, 0.3),
+            AnchorConfig("truck", (2.84, 10.24, 3.44), -0.08, 0.45, 0.3),
         ),
         batch_size=4,
         num_sweeps=1,
