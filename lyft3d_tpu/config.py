@@ -212,3 +212,11 @@ class PointRCNNExperiment:
     )
     data: DataConfig = field(default_factory=DataConfig)
     model_dir: str = "/tmp/lyft3d_pointrcnn"
+
+
+def change_detection_range(exp: SecondExperiment, new_range) -> SecondExperiment:
+    """Return a copy of a SECOND experiment with a new detection range —
+    the config-mutation helper capability (``second/utils/config_tool``'s
+    ``change_detection_range_v2``, used by inference.py:43 to shrink the
+    range for interactive demos)."""
+    return dataclasses.replace(exp, point_cloud_range=tuple(new_range))

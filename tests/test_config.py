@@ -68,3 +68,14 @@ class TestSnapshot:
         path = snapshot_config(BEVExperiment(), tmp_path / "run1")
         assert path.exists()
         assert load_yaml(BEVExperiment, path) == BEVExperiment()
+
+
+class TestConfigTools:
+    def test_change_detection_range(self):
+        from lyft3d_tpu.config import SecondExperiment, change_detection_range
+
+        exp = SecondExperiment()
+        out = change_detection_range(exp, (-20, -20, -3, 20, 20, 3))
+        assert out.point_cloud_range == (-20, -20, -3, 20, 20, 3)
+        assert exp.point_cloud_range != out.point_cloud_range  # original intact
+        assert out.anchors == exp.anchors
