@@ -30,11 +30,7 @@ def main(steps: int = 400, out_dir: str = "/tmp/lyft3d_second_demo"):
         SecondSampleLoader,
         create_infos,
     )
-    from lyft3d_tpu.pipelines.second_train import (
-        evaluate_second,
-        train_second,
-        voxelnet_config_from_experiment,
-    )
+    from lyft3d_tpu.pipelines.second_train import evaluate_second, train_second
 
     t0 = time.time()
     out = Path(out_dir)
