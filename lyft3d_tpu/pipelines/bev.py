@@ -54,18 +54,23 @@ def make_infer_fn(
     """
 
     def infer(points, valid, map_channel):
-        x = make_bev_input(points, valid, map_channel, cfg, backend=backend)[None]
+        """Batched: (B, N, 3) points, (B, N) valid, (B, H, W) map."""
+        x = jax.vmap(
+            lambda p, v, m: make_bev_input(p, v, m, cfg, backend=backend)
+        )(points, valid, map_channel)
         logits = None
         for model, params in models_and_params:
             l, _ = model.apply(params, x)
             logits = l if logits is None else logits + l
-        probs = jax.nn.softmax(logits[0] / len(models_and_params), axis=-1)
-        return extract_detections(
-            probs,
-            bg_threshold=bg_threshold,
-            class_score_threshold=class_score_threshold,
-            max_components=max_components,
-        )
+        probs = jax.nn.softmax(logits / len(models_and_params), axis=-1)
+        return jax.vmap(
+            lambda pr: extract_detections(
+                pr,
+                bg_threshold=bg_threshold,
+                class_score_threshold=class_score_threshold,
+                max_components=max_components,
+            )
+        )(probs)
 
     return jax.jit(infer)
 
@@ -130,16 +135,30 @@ class BEVInferencePipeline:
         )
 
     def detect_sample(self, sample_token: str) -> List[dict]:
-        arrays = self.gen.sample_arrays(sample_token)
-        det = self.infer_fn(
-            jnp.asarray(arrays["points"][:, :3]),
-            jnp.asarray(arrays["points_valid"]),
-            jnp.asarray(arrays["map"]),
-        )
-        return detections_to_world(self.gen, sample_token, jax.device_get(det))
+        return self.detect_all([sample_token])[sample_token]
 
-    def detect_all(self, sample_tokens: Sequence[str]) -> Dict[str, List[dict]]:
-        return {tok: self.detect_sample(tok) for tok in sample_tokens}
+    def detect_all(
+        self, sample_tokens: Sequence[str], batch_size: int = 8
+    ) -> Dict[str, List[dict]]:
+        """Batched inference: fixed-size batches (last one padded by repeating
+        the final token) so one jitted program serves every call — per-sample
+        dispatch would pay a host round-trip each."""
+        out: Dict[str, List[dict]] = {}
+        tokens = list(sample_tokens)
+        for i in range(0, len(tokens), batch_size):
+            chunk = tokens[i : i + batch_size]
+            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            arrays = [self.gen.sample_arrays(t) for t in padded]
+            det = self.infer_fn(
+                jnp.asarray(np.stack([a["points"][:, :3] for a in arrays])),
+                jnp.asarray(np.stack([a["points_valid"] for a in arrays])),
+                jnp.asarray(np.stack([a["map"] for a in arrays])),
+            )
+            det = jax.device_get(det)
+            for j, tok in enumerate(chunk):
+                det_j = {k: v[j] for k, v in det.items()}
+                out[tok] = detections_to_world(self.gen, tok, det_j)
+        return out
 
 
 def quaternion_yaw_from_matrix(tm: np.ndarray) -> float:
