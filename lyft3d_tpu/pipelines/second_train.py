@@ -132,11 +132,14 @@ def evaluate_second(
     model, params, vcfg: VoxelNetConfig, loader: SecondSampleLoader,
     tokens: Sequence[str], class_names: Sequence[str],
     measure_time: bool = False,
+    batch_size: int = 4,
 ) -> List[dict]:
     """Run predict over tokens → world-frame detection records
-    (the evaluation_nusc path, nuscenes_dataset.py:346-400). With
-    ``measure_time`` prints per-section averaged ms — the reference's
-    ``evaluate --measure_time=True`` mode (train.py:550-573)."""
+    (the evaluation_nusc path, nuscenes_dataset.py:346-400), in fixed-size
+    padded batches (one jitted program; per-sample dispatch pays a host
+    round-trip each). With ``measure_time`` prints per-section averaged ms —
+    the reference's ``evaluate --measure_time=True`` mode (train.py:550-573).
+    """
     from lyft3d_tpu.utils.profiler import SectionTimers
 
     anchors, _, _, acls = vcfg.make_anchors()
@@ -144,35 +147,45 @@ def evaluate_second(
 
     @jax.jit
     def infer(points, valid):
-        vox = voxelize(points, valid, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel)
+        vox = jax.vmap(
+            lambda p, v: voxelize(
+                p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel
+            )
+        )(points, valid)
         preds = model.apply(
-            params,
-            vox["voxels"][None], vox["num_points"][None],
-            vox["coords"][None], vox["voxel_valid"][None],
+            params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]
         )
-        preds1 = {k: v[0] for k, v in preds.items()}
-        return voxelnet_predict(preds1, anchors, acls, vcfg)
+        return jax.vmap(
+            lambda b, c, d: voxelnet_predict(
+                {"box": b, "cls": c, "dir": d}, anchors, acls, vcfg
+            )
+        )(preds["box"], preds["cls"], preds["dir"])
 
     records: List[dict] = []
-    for tok in tokens:
+    toks = list(tokens)
+    for i in range(0, len(toks), batch_size):
+        chunk = toks[i : i + batch_size]
+        padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
         with timers.section("prep"):
-            s = loader.sample(tok, train=False)
+            samples = [loader.sample(t, train=False) for t in padded]
+            pts = jnp.asarray(np.stack([s["points"] for s in samples]))
+            val = jnp.asarray(np.stack([s["points_valid"] for s in samples]))
         with timers.section("infer") as t:
-            det = infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
+            det = infer(pts, val)
             t.set_sentinel(det["scores"])
         with timers.section("postprocess"):
             det = jax.device_get(det)
-            info = loader.infos[tok]
-            records.extend(
-                detections_to_world_records(
-                    info, det["boxes"], det["scores"], det["classes"], det["valid"],
-                    class_names,
+            for j, tok in enumerate(chunk):
+                info = loader.infos[tok]
+                records.extend(
+                    detections_to_world_records(
+                        info, det["boxes"][j], det["scores"][j],
+                        det["classes"][j], det["valid"][j], class_names,
+                    )
                 )
-            )
     if measure_time:
-        avg = timers.averages_ms()
         total = sum(timers.totals.values())
         print(
-            f"sec_per_example: {total / max(len(tokens), 1):.4f} ({timers.report()})"
+            f"sec_per_example: {total / max(len(toks), 1):.4f} ({timers.report()})"
         )
     return records

@@ -17,7 +17,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main(steps: int = 400, out_dir: str = "/tmp/lyft3d_second_demo"):
+def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
     import jax
 
     from lyft3d_tpu.config import AnchorConfig, OptimizerConfig, SecondExperiment
@@ -52,8 +52,8 @@ def main(steps: int = 400, out_dir: str = "/tmp/lyft3d_second_demo"):
             # z centers in the SENSOR frame: box center = h/2 − lidar
             # mount height (1.8 m in the synthetic rig).
             AnchorConfig("car", (1.93, 4.76, 1.72), -0.94, 0.45, 0.3),
-            AnchorConfig("bus", (2.96, 12.34, 3.44), -0.08, 0.45, 0.3),
-            AnchorConfig("truck", (2.84, 10.24, 3.44), -0.08, 0.45, 0.3),
+            AnchorConfig("bus", (2.96, 12.34, 3.44), -0.08, 0.35, 0.2),
+            AnchorConfig("truck", (2.84, 10.24, 3.44), -0.08, 0.35, 0.2),
         ),
         batch_size=4,
         num_sweeps=1,
@@ -95,7 +95,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--out", default="/tmp/lyft3d_second_demo")
     args = ap.parse_args()
     main(args.steps, args.out)
