@@ -291,3 +291,102 @@ def eval_pointrcnn(
         }
         print(f"eval {class_name}: {stats}")
     return gt_frames, det_frames
+
+
+def cache_rcnn_samples(rpn_model, rpn_params, loader: KittiPointRCNNLoader,
+                       cfg: PointRCNNConfig, stems: Optional[Sequence[str]] = None):
+    """Stage-1 output cache for offline RCNN training (the reference's
+    ``rcnn_offline`` mode: eval_rcnn/train_rcnn with --rcnn_training_roi_dir,
+    kitti_rcnn_dataset.py:918+): frozen-RPN proposals + per-point features
+    per frame."""
+    import jax.numpy as jnp
+
+    from lyft3d_tpu.models.pointrcnn.net import proposal_layer
+
+    @jax.jit
+    def run_rpn(xyz, valid):
+        feats = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
+        out = rpn_model.apply(rpn_params, xyz, feats, valid)
+        props = proposal_layer(xyz, out["cls"], out["reg"], valid, cfg)
+        return out["point_features"], props
+
+    cache = []
+    for stem in stems or loader.stems:
+        s = loader.sample(stem)
+        feats, props = jax.device_get(
+            run_rpn(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
+        )
+        cache.append(
+            {
+                "stem": stem,
+                "xyz": s["points"],
+                "points_valid": s["points_valid"],
+                "point_features": feats,
+                "rois": props["rois"],
+                "roi_valid": props["roi_valid"],
+                "gt_boxes": s["gt_boxes"],
+                "gt_valid": s["gt_valid"],
+            }
+        )
+    return cache
+
+
+def train_rcnn_offline(cache, cfg: PointRCNNConfig, steps: int = 100,
+                       lr: float = 1e-3, seed: int = 0):
+    """Offline RCNN training over cached stage-1 samples (train_mode
+    rcnn_offline, train_rcnn.py:177-190): RoI-pool cached features, canonical
+    transform, RCNN heads + proposal-target losses."""
+    import optax
+
+    from lyft3d_tpu.models.pointrcnn.net import (
+        PointRCNN_RCNN,
+        canonical_transform,
+        proposal_target_layer,
+        rcnn_loss,
+    )
+    from lyft3d_tpu.ops.pointnet2 import roi_pool3d
+
+    model = PointRCNN_RCNN(cfg)
+
+    def roi_inputs(sample):
+        pooled, counts, empty = roi_pool3d(
+            jnp.asarray(sample["xyz"]),
+            jnp.asarray(sample["point_features"]),
+            jnp.asarray(sample["points_valid"]),
+            jnp.asarray(sample["rois"]),
+            num_sampled=cfg.roi_points,
+            extra_width=cfg.roi_extra_width,
+        )
+        canon = canonical_transform(pooled[..., :3], jnp.asarray(sample["rois"]))
+        return jnp.concatenate([canon, pooled[..., 3:]], axis=-1), counts
+
+    pts0, counts0 = roi_inputs(cache[0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), pts0, counts0)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, roi_pts, counts, rois, roi_valid, gt, gt_valid):
+        tgts = proposal_target_layer(rois, roi_valid, gt, gt_valid, cfg,
+                                     jax.random.PRNGKey(0))
+
+        def lf(p):
+            out = model.apply(p, roi_pts, counts)
+            return rcnn_loss(out, rois, tgts, gt, cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed)
+    losses = []
+    for i in range(steps):
+        sample = cache[rng.randint(len(cache))]
+        roi_pts, counts = roi_inputs(sample)
+        params, opt_state, loss = step(
+            params, opt_state, roi_pts, counts,
+            jnp.asarray(sample["rois"]), jnp.asarray(sample["roi_valid"]),
+            jnp.asarray(sample["gt_boxes"]), jnp.asarray(sample["gt_valid"]),
+        )
+        losses.append(float(loss))
+    return model, params, losses

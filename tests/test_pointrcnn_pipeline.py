@@ -138,3 +138,31 @@ class TestGTAug:
         s_aug = aug.sample(aug.stems[0])
         s_plain = base.sample(base.stems[0])
         assert s_aug["gt_valid"].sum() > s_plain["gt_valid"].sum()
+
+
+class TestRCNNOffline:
+    def test_cache_and_offline_training(self, kitti_root):
+        import jax
+        import jax.numpy as jnp
+
+        from lyft3d_tpu.models.pointrcnn.net import PointRCNN_RPN
+        from lyft3d_tpu.pipelines.pointrcnn_train import (
+            cache_rcnn_samples,
+            train_rcnn_offline,
+        )
+
+        loader = KittiPointRCNNLoader(kitti_root, KittiLoaderConfig(num_points=1024))
+        rpn = PointRCNN_RPN(TINY)
+        s = loader.sample(loader.stems[0])
+        rpn_params = jax.jit(rpn.init)(
+            jax.random.PRNGKey(0), jnp.asarray(s["points"]),
+            jnp.zeros((s["points"].shape[0], 1)), jnp.asarray(s["points_valid"]),
+        )
+        cache = cache_rcnn_samples(rpn, rpn_params, loader, TINY)
+        assert len(cache) == 3
+        assert cache[0]["rois"].shape == (TINY.num_proposals, 7)
+        assert cache[0]["point_features"].shape[1] == TINY.fp_width
+
+        model, params, losses = train_rcnn_offline(cache, TINY, steps=6)
+        assert len(losses) == 6
+        assert all(np.isfinite(l) for l in losses)
