@@ -43,7 +43,9 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
     infos = create_infos(db, num_sweeps=1, classes=classes)
 
     exp = SecondExperiment(
-        point_cloud_range=(-51.2, -51.2, -3.0, 51.2, 51.2, 5.0),
+        # Asymmetric range covering the synthetic scene layout (objects sit
+        # ahead-right of the ego track): x ∈ [−20, 84], y ∈ [−36, 28].
+        point_cloud_range=(-20.0, -36.0, -3.0, 84.0, 28.0, 5.0),
         voxel_size=(0.4, 0.4, 8.0),
         max_voxels=8192,
         max_points_per_voxel=8,
