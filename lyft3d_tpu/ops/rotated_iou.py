@@ -89,8 +89,31 @@ def polygon_intersection_area(corners1, corners2):
     return _polygon_area(verts, count)
 
 
+_ROW_CHUNK = 64
+
+
 def _pairwise(fn, corners1, corners2):
-    return jax.vmap(lambda c1: jax.vmap(lambda c2: fn(c1, c2))(corners2))(corners1)
+    """Pairwise map with bounded memory.
+
+    A flat vmap² materializes every pair's clip buffers simultaneously —
+    (N·M·8·2·2) floats, 32 GB at N=M=1000 batch 4 — so rows are processed in
+    ``_ROW_CHUNK`` blocks via ``lax.map`` (sequential over blocks, vectorized
+    within).
+    """
+    n = corners1.shape[0]
+    if n <= _ROW_CHUNK:
+        return jax.vmap(lambda c1: jax.vmap(lambda c2: fn(c1, c2))(corners2))(corners1)
+    pad = (-n) % _ROW_CHUNK
+    padded = jnp.pad(corners1, ((0, pad), (0, 0), (0, 0)))
+    blocks = padded.reshape(-1, _ROW_CHUNK, 4, 2)
+
+    def block_fn(c1_block):
+        return jax.vmap(
+            lambda c1: jax.vmap(lambda c2: fn(c1, c2))(corners2)
+        )(c1_block)
+
+    out = jax.lax.map(block_fn, blocks)
+    return out.reshape(-1, corners2.shape[0])[:n]
 
 
 def rotated_overlap_bev(boxes1, boxes2):
