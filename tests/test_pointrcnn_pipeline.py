@@ -166,3 +166,39 @@ class TestRCNNOffline:
         model, params, losses = train_rcnn_offline(cache, TINY, steps=6)
         assert len(losses) == 6
         assert all(np.isfinite(l) for l in losses)
+
+
+class TestAugScenes:
+    def test_generate_aug_scenes(self, kitti_root, tmp_path):
+        import numpy as np
+
+        from lyft3d_tpu.data.aug_scene import generate_aug_scenes
+        from lyft3d_tpu.data.augment import DataBaseSampler, create_gt_database
+        from lyft3d_tpu.data.kitti import read_label_file
+
+        base = KittiPointRCNNLoader(kitti_root, KittiLoaderConfig(num_points=2048))
+        samples = []
+        for stem in base.stems:
+            s = base.sample(stem)
+            samples.append(
+                {
+                    "points": np.concatenate(
+                        [s["points"], np.zeros((len(s["points"]), 1), np.float32)], -1
+                    ),
+                    "gt_boxes": s["gt_boxes"][s["gt_valid"]],
+                    "gt_names": np.array(["car"] * int(s["gt_valid"].sum())),
+                }
+            )
+        db = create_gt_database(tmp_path / "gtdb2", samples, min_points=3)
+        sampler = DataBaseSampler(db, {"car": 10}, seed=1)
+        out = generate_aug_scenes(kitti_root, tmp_path / "aug", sampler, copies=2)
+
+        bins = sorted((out / "velodyne").glob("*.bin"))
+        assert len(bins) == 2 * len(base.stems)
+        orig_labels = read_label_file(kitti_root / "label_2" / "000000.txt")
+        aug_labels = read_label_file(out / "label_2" / "000000_0.txt")
+        assert len(aug_labels) >= len(orig_labels)
+        # Augmented tree loads through the standard loader.
+        aug_loader = KittiPointRCNNLoader(out, KittiLoaderConfig(num_points=1024))
+        s = aug_loader.sample(aug_loader.stems[0])
+        assert s["gt_valid"].sum() >= 4
