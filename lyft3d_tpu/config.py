@@ -191,6 +191,7 @@ class SecondExperiment:
     max_points_per_voxel: int = 20
     encoder: str = "pillars"
     middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
+    similarity: str = "nearest"  # anchor matching: nearest | rotated
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
     batch_size: int = 8
     num_sweeps: int = 10

@@ -57,6 +57,7 @@ class VoxelNetConfig:
     rpn_up_strides: Tuple[float, ...] = (1, 2, 4)
     rpn_up_filters: Tuple[int, ...] = (128, 128, 128)
     encode_angle_to_vector: bool = False
+    similarity: str = "nearest"  # anchor-GT matching: nearest (standup) | rotated
     num_classes: int = 1
     # loss
     cls_weight: float = 1.0

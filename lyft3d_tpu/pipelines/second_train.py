@@ -53,6 +53,7 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         max_points_per_voxel=exp.max_points_per_voxel,
         encoder=exp.encoder,
         middle=exp.middle,
+        similarity=exp.similarity,
         anchor_specs=specs,
         **overrides,
     )
@@ -68,7 +69,9 @@ def make_second_loss_fn(vcfg: VoxelNetConfig):
             )
         )(batch["points"], batch["points_valid"])
         tgts = jax.vmap(
-            lambda g, c, v: assign_targets(anchors, acls, mt, ut, g, c, v)
+            lambda g, c, v: assign_targets(
+                anchors, acls, mt, ut, g, c, v, similarity=vcfg.similarity
+            )
         )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
         preds = model.apply(
             params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]

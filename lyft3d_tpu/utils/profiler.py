@@ -34,6 +34,7 @@ class SectionTimers:
         """Time a block; pass the block's output array as ``sentinel`` via
         ``set_sentinel`` for accurate async-dispatch timing."""
         if not self.enabled:
+            self._box = {}
             yield self
             return
         box = {}

@@ -54,11 +54,12 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
             # z centers in the SENSOR frame: box center = h/2 − lidar
             # mount height (1.8 m in the synthetic rig).
             AnchorConfig("car", (1.93, 4.76, 1.72), -0.94, 0.45, 0.3),
-            AnchorConfig("bus", (2.96, 12.34, 3.44), -0.08, 0.35, 0.2),
-            AnchorConfig("truck", (2.84, 10.24, 3.44), -0.08, 0.35, 0.2),
+            AnchorConfig("bus", (2.96, 12.34, 3.44), -0.08, 0.25, 0.15),
+            AnchorConfig("truck", (2.84, 10.24, 3.44), -0.08, 0.25, 0.15),
         ),
         batch_size=4,
         num_sweeps=1,
+        similarity="rotated",
         optimizer=OptimizerConfig(name="adam", lr=1.5e-3, grad_accum=1,
                                   clip_norm=10.0, total_steps=steps),
         model_dir=str(out / "run"),
