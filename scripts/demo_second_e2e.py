@@ -59,7 +59,6 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
         ),
         batch_size=4,
         num_sweeps=1,
-        similarity="rotated",
         optimizer=OptimizerConfig(name="adam", lr=1.5e-3, grad_accum=1,
                                   clip_norm=10.0, total_steps=steps),
         model_dir=str(out / "run"),
