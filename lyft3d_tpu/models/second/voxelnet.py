@@ -58,6 +58,9 @@ class VoxelNetConfig:
     rpn_up_filters: Tuple[int, ...] = (128, 128, 128)
     encode_angle_to_vector: bool = False
     similarity: str = "nearest"  # anchor-GT matching: nearest (standup) | rotated
+    # Ignore anchors over empty BEV area (anchor_area_threshold, SECOND
+    # configs; integral-image mask ops/anchors.anchors_area_mask).
+    anchor_area_threshold: float = 0.0  # 0 disables
     num_classes: int = 1
     # loss
     cls_weight: float = 1.0

@@ -60,7 +60,13 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
 
 
 def make_second_loss_fn(vcfg: VoxelNetConfig):
+    from lyft3d_tpu.ops.anchors import anchors_area_mask, bev_occupancy_mask
+    from lyft3d_tpu.ops.box_ops import box_corners_2d, corners_to_standup_2d
+
     anchors, mt, ut, acls = vcfg.make_anchors()
+    abev = jnp.concatenate([anchors[:, 0:2], anchors[:, 3:5], anchors[:, 6:7]], -1)
+    anchor_standup = corners_to_standup_2d(box_corners_2d(abev))
+    nx, ny, _ = vcfg.grid.grid_size
 
     def loss_fn(model, params, batch, rng):
         vox = jax.vmap(
@@ -68,11 +74,25 @@ def make_second_loss_fn(vcfg: VoxelNetConfig):
                 p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel
             )
         )(batch["points"], batch["points_valid"])
+        if vcfg.anchor_area_threshold > 0:
+            # Don't-care anchors over empty BEV area (anchor mask cumsum
+            # trick, data/preprocess.py:348-359).
+            amask = jax.vmap(
+                lambda c, vv: anchors_area_mask(
+                    anchor_standup,
+                    bev_occupancy_mask(c, vv, (ny, nx)),
+                    vcfg.grid.point_cloud_range,
+                    min_area=vcfg.anchor_area_threshold,
+                )
+            )(vox["coords"], vox["voxel_valid"])
+        else:
+            amask = jnp.ones((batch["points"].shape[0], anchors.shape[0]), bool)
         tgts = jax.vmap(
-            lambda g, c, v: assign_targets(
-                anchors, acls, mt, ut, g, c, v, similarity=vcfg.similarity
+            lambda g, c, v, m: assign_targets(
+                anchors, acls, mt, ut, g, c, v, anchor_mask=m,
+                similarity=vcfg.similarity,
             )
-        )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+        )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], amask)
         preds = model.apply(
             params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]
         )

@@ -167,3 +167,53 @@ class TestTrainStep:
         )(params)
         assert np.isfinite(float(loss))
         assert float(metrics["num_pos"]) >= 1
+
+
+class TestAnchorMaskInLoss:
+    def test_loss_with_anchor_area_threshold(self, setup):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from lyft3d_tpu.models.second.voxelnet import VoxelNet
+        from lyft3d_tpu.pipelines.second_train import make_second_loss_fn
+
+        db, infos = setup
+        grid = VoxelGrid(
+            point_cloud_range=(-40, -40, -3, 40, 40, 5), voxel_size=(1.0, 1.0, 8.0)
+        )
+        specs = tuple(
+            AnchorSpec(size=(2.0, 5.0, 1.8), z_center=0.5, matched_threshold=0.45,
+                       unmatched_threshold=0.3, class_id=i + 1)
+            for i in range(len(CLASSES))
+        )
+        cfg = VoxelNetConfig(
+            grid=grid, max_voxels=2048, max_points_per_voxel=8,
+            encoder="pillars", encoder_features=(16,), anchor_specs=specs,
+            rpn_layer_nums=(1, 1), rpn_strides=(2, 2), rpn_filters=(16, 32),
+            rpn_up_strides=(1, 2), rpn_up_filters=(16, 16),
+            anchor_area_threshold=1.0,
+        )
+        loader = SecondSampleLoader(
+            db, infos, CLASSES, LoaderConfig(max_points=8192, num_sweeps=1, augment=False)
+        )
+        batch = {k: jnp.asarray(v) for k, v in loader.batch([infos[0]["token"]]).items()}
+        model = VoxelNet(cfg, dtype=jnp.float32)
+        vox = jax.vmap(
+            lambda p, v: voxelize(p, v, grid, cfg.max_voxels, cfg.max_points_per_voxel)
+        )(batch["points"], batch["points_valid"])
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), vox["voxels"], vox["num_points"],
+            vox["coords"], vox["voxel_valid"],
+        )
+        loss_fn = make_second_loss_fn(cfg)
+        (loss, metrics), grads = jax.jit(
+            lambda p: jax.value_and_grad(
+                lambda pp: loss_fn(model, pp, batch, None), has_aux=True
+            )(p)
+        )(params)
+        assert np.isfinite(float(loss))
+        assert float(metrics["num_pos"]) >= 1  # objects sit on occupied cells
+        assert np.isfinite(float(optax.global_norm(grads)))
