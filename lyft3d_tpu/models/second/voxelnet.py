@@ -194,7 +194,15 @@ def voxelnet_loss(preds, targets, cfg: VoxelNetConfig):
     num_pos = jnp.maximum(jnp.sum(pos, axis=1, keepdims=True), 1.0)
 
     # Classification: per-class sigmoid focal, background encoded as zeros.
-    cls_onehot = jax.nn.one_hot(labels - 1, cfg.num_classes, dtype=jnp.float32) * pos[..., None]
+    # num_classes == 1 means "objectness of the anchor's own class" (anchors
+    # carry class identity): every positive is a 1 regardless of class id.
+    if cfg.num_classes == 1:
+        cls_onehot = pos[..., None]
+    else:
+        cls_onehot = (
+            jax.nn.one_hot(labels - 1, cfg.num_classes, dtype=jnp.float32)
+            * pos[..., None]
+        )
     cls_loss = sigmoid_focal_loss(
         preds["cls"], cls_onehot, alpha=cfg.focal_alpha, gamma=cfg.focal_gamma
     ).sum(-1)
