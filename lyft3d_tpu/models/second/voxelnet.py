@@ -61,6 +61,9 @@ class VoxelNetConfig:
     # Ignore anchors over empty BEV area (anchor_area_threshold, SECOND
     # configs; integral-image mask ops/anchors.anchors_area_mask).
     anchor_area_threshold: float = 0.0  # 0 disables
+    # Cap on mask-selected anchors when the pruned (rotated-capable)
+    # assignment path is active.
+    max_active_anchors: int = 4096
     num_classes: int = 1
     # loss
     cls_weight: float = 1.0

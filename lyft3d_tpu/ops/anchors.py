@@ -299,3 +299,68 @@ def tune_match_thresholds(
                 best = t
         out[cid] = float(best)
     return out
+
+
+def assign_targets_pruned(
+    anchors,
+    anchor_class,
+    matched_thr,
+    unmatched_thr,
+    gt_boxes,
+    gt_classes,
+    gt_valid,
+    anchor_mask,
+    max_active: int = 4096,
+    similarity: str = "rotated",
+    encode_angle_to_vector: bool = False,
+):
+    """assign_targets restricted to ≤ ``max_active`` masked anchors.
+
+    Makes expensive similarities (rotated IoU) affordable at full grid scale:
+    the integral-image anchor mask selects candidate anchors (cumsum
+    compaction, fixed capacity), assignment runs on the subset, and results
+    scatter back — everything else is don't-care (−1), exactly the
+    reference's anchors_mask semantics (create_target_np with anchors_mask,
+    data/preprocess.py:348-369).
+    """
+    a = anchors.shape[0]
+    rank = jnp.cumsum(anchor_mask) - 1
+    slot = jnp.where(anchor_mask & (rank < max_active), rank, max_active)
+    sel = (
+        jnp.zeros((max_active + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(a, dtype=jnp.int32), mode="drop")[:max_active]
+    )
+    sel_valid = jnp.arange(max_active) < jnp.minimum(jnp.sum(anchor_mask), max_active)
+
+    sub = assign_targets(
+        anchors[sel],
+        anchor_class[sel],
+        matched_thr[sel],
+        unmatched_thr[sel],
+        gt_boxes,
+        gt_classes,
+        gt_valid,
+        anchor_mask=sel_valid,
+        similarity=similarity,
+        encode_angle_to_vector=encode_angle_to_vector,
+    )
+
+    code = sub["bbox_targets"].shape[-1]
+    scatter_idx = jnp.where(sel_valid, sel, a)
+    labels = jnp.full((a + 1,), -1, jnp.int32).at[scatter_idx].set(
+        sub["labels"], mode="drop"
+    )[:a]
+    bbox = jnp.zeros((a + 1, code)).at[scatter_idx].set(
+        sub["bbox_targets"], mode="drop"
+    )[:a]
+    rw = jnp.zeros((a + 1,)).at[scatter_idx].set(sub["reg_weights"], mode="drop")[:a]
+    dirs = jnp.zeros((a + 1,), jnp.int32).at[scatter_idx].set(
+        sub["dir_targets"], mode="drop"
+    )[:a]
+    return {
+        "labels": labels,
+        "bbox_targets": bbox,
+        "reg_weights": rw,
+        "dir_targets": dirs,
+    }

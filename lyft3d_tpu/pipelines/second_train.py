@@ -87,12 +87,23 @@ def make_second_loss_fn(vcfg: VoxelNetConfig):
             )(vox["coords"], vox["voxel_valid"])
         else:
             amask = jnp.ones((batch["points"].shape[0], anchors.shape[0]), bool)
-        tgts = jax.vmap(
-            lambda g, c, v, m: assign_targets(
-                anchors, acls, mt, ut, g, c, v, anchor_mask=m,
-                similarity=vcfg.similarity,
-            )
-        )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], amask)
+        if vcfg.similarity == "rotated" and vcfg.anchor_area_threshold > 0:
+            # Rotated IoU only affordable on the mask-pruned anchor subset.
+            from lyft3d_tpu.ops.anchors import assign_targets_pruned
+
+            tgts = jax.vmap(
+                lambda g, c, v, m: assign_targets_pruned(
+                    anchors, acls, mt, ut, g, c, v, m,
+                    max_active=vcfg.max_active_anchors, similarity="rotated",
+                )
+            )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], amask)
+        else:
+            tgts = jax.vmap(
+                lambda g, c, v, m: assign_targets(
+                    anchors, acls, mt, ut, g, c, v, anchor_mask=m,
+                    similarity=vcfg.similarity,
+                )
+            )(batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], amask)
         preds = model.apply(
             params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]
         )

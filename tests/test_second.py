@@ -352,3 +352,37 @@ class TestSparseMiddleVoxelNet:
 
         g = jax.jit(jax.grad(lf))(params)
         assert np.isfinite(float(optax.global_norm(g)))
+
+
+class TestPrunedAssign:
+    def test_matches_full_assignment_on_masked_anchors(self):
+        anchors, mt, ut, cls = generate_anchors((16, 16), GRID.point_cloud_range, [SPEC])
+        gt = jnp.array([[2.0, 3.0, 0.0, 2.0, 4.0, 1.6, 0.4]], jnp.float32)
+        gt_cls = jnp.array([1], jnp.int32)
+        gt_valid = jnp.array([True])
+        # Mask: anchors within 8 m of the GT.
+        mask = jnp.linalg.norm(np.asarray(anchors)[:, :2] - np.array([2.0, 3.0]), axis=1) < 8.0
+        from lyft3d_tpu.ops.anchors import assign_targets_pruned
+
+        full = assign_targets(anchors, cls, mt, ut, gt, gt_cls, gt_valid,
+                              anchor_mask=jnp.asarray(mask), similarity="rotated")
+        pruned = assign_targets_pruned(anchors, cls, mt, ut, gt, gt_cls, gt_valid,
+                                       jnp.asarray(mask), max_active=256,
+                                       similarity="rotated")
+        np.testing.assert_array_equal(np.asarray(full["labels"]),
+                                      np.asarray(pruned["labels"]))
+        np.testing.assert_allclose(np.asarray(full["bbox_targets"]),
+                                   np.asarray(pruned["bbox_targets"]), atol=1e-5)
+        assert int((np.asarray(pruned["labels"]) == 1).sum()) >= 1
+
+    def test_capacity_overflow_drops_extras(self):
+        anchors, mt, ut, cls = generate_anchors((16, 16), GRID.point_cloud_range, [SPEC])
+        gt = jnp.array([[2.0, 3.0, 0.0, 2.0, 4.0, 1.6, 0.4]], jnp.float32)
+        from lyft3d_tpu.ops.anchors import assign_targets_pruned
+
+        mask = jnp.ones((anchors.shape[0],), bool)
+        out = assign_targets_pruned(anchors, cls, mt, ut, gt,
+                                    jnp.array([1], jnp.int32), jnp.array([True]),
+                                    mask, max_active=64)
+        lab = np.asarray(out["labels"])
+        assert (lab != -1).sum() == 64  # only the first 64 active slots decided
