@@ -14,6 +14,7 @@ Commands:
     train-second    train the voxelnet detector
     eval-map        score a submission CSV with the official Lyft mAP
     export-kitti    write a KITTI-layout dataset
+    import-weights  convert a torch backbone checkpoint → flax checkpoint
 """
 
 from __future__ import annotations
@@ -218,6 +219,32 @@ def cmd_export_kitti(args):
     print(f"KITTI tree at {out}")
 
 
+def cmd_import_weights(args):
+    """Torch ImageNet checkpoint → flax checkpoint for `--init-from`-style
+    partial restore (the reference's transfer-learning path, modelzoo hub
+    weights → models/model.py:50-60 load_pretrain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lyft3d_tpu.models import build_model
+    from lyft3d_tpu.train import checkpoint as ckpt
+    from lyft3d_tpu.utils.torch_import import (
+        load_pretrained_backbone,
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(args.torch_ckpt)
+    model_name = args.model or f"unet_{args.backbone}"
+    model = build_model(model_name, n_classes=args.n_classes)
+    x = jnp.zeros((1, args.image_size, args.image_size, args.in_channels), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    params = load_pretrained_backbone(
+        params, sd, args.backbone, in_channels=args.in_channels, verbose=True
+    )
+    path = ckpt.save(args.out, {"params": params["params"]}, name=model_name)
+    print(f"imported {args.backbone} weights → {path}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lyft3d_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -298,6 +325,16 @@ def build_parser() -> argparse.ArgumentParser:
     add_db_args(sp)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export_kitti)
+
+    sp = sub.add_parser("import-weights")
+    sp.add_argument("--torch-ckpt", required=True)
+    sp.add_argument("--backbone", required=True)
+    sp.add_argument("--model", default=None)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-classes", type=int, default=10)
+    sp.add_argument("--in-channels", type=int, default=6)
+    sp.add_argument("--image-size", type=int, default=336)
+    sp.set_defaults(fn=cmd_import_weights)
     return p
 
 

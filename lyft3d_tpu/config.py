@@ -170,6 +170,10 @@ class BEVExperiment:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     data: DataConfig = field(default_factory=DataConfig)
     model_dir: str = "/tmp/lyft3d_bev"
+    # Directory holding an imported/pretrained checkpoint (cli import-weights);
+    # shape-matching leaves are partial-restored at init (models/model.py:50-60
+    # load_pretrain semantics).
+    init_from: str = ""
 
 
 @dataclass

@@ -54,6 +54,15 @@ def train_bev(
     params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.data.seed), jnp.zeros((1, h, w, in_ch), jnp.float32)
     )
+    if cfg.init_from:
+        from lyft3d_tpu.train import checkpoint as ckpt
+
+        if ckpt.latest_checkpoint(cfg.init_from, name=cfg.model) is None:
+            raise FileNotFoundError(
+                f"init_from={cfg.init_from!r} has no {cfg.model!r} checkpoint"
+            )
+        donor, _ = ckpt.restore_latest(cfg.init_from, params, name=cfg.model)
+        params = ckpt.partial_restore(params, donor, verbose=True)
 
     opt = cfg.optimizer
     tx = build_optimizer(
