@@ -31,44 +31,6 @@ from lyft3d_tpu.ops.connected_components import connected_components, morph_open
 __all__ = ["mask_to_rotated_boxes", "extract_detections"]
 
 
-def _component_box(coords, weight, n_angles):
-    """Min-area oriented rectangle of weighted 2D points (angle sweep).
-
-    Args:
-        coords: (P, 2) pixel-center coordinates (col=x, row=y).
-        weight: (P,) 0/1 membership.
-        n_angles: sweep resolution over [0, pi/2).
-
-    Returns:
-        (cx, cy, w, l, angle): center, extents (w ⊥ the angle axis, l along
-        it), and the rectangle angle in radians.
-    """
-    total = jnp.maximum(jnp.sum(weight), 1.0)
-    angles = jnp.arange(n_angles, dtype=jnp.float32) * (jnp.pi / 2.0 / n_angles)
-    cos, sin = jnp.cos(angles), jnp.sin(angles)  # (K,)
-    # Projections: (K, P)
-    u = cos[:, None] * coords[None, :, 0] + sin[:, None] * coords[None, :, 1]
-    v = -sin[:, None] * coords[None, :, 0] + cos[:, None] * coords[None, :, 1]
-    big = 1e9
-    inv = (1.0 - weight)[None, :] * big
-    u_min = jnp.min(u + inv, axis=1)
-    u_max = jnp.max(u - inv, axis=1)
-    v_min = jnp.min(v + inv, axis=1)
-    v_max = jnp.max(v - inv, axis=1)
-    # +1: a single pixel spans one cell (minAreaRect of a 1-px contour is
-    # degenerate; pixel extent matches rasterization better).
-    du = u_max - u_min + 1.0
-    dv = v_max - v_min + 1.0
-    areas = du * dv
-    k = jnp.argmin(areas)
-    ang = angles[k]
-    cu = (u_min[k] + u_max[k]) / 2.0
-    cv_ = (v_min[k] + v_max[k]) / 2.0
-    cx = jnp.cos(ang) * cu - jnp.sin(ang) * cv_
-    cy = jnp.sin(ang) * cu + jnp.cos(ang) * cv_
-    return cx, cy, dv[k], du[k], ang  # w = perpendicular extent, l = along axis
-
-
 def mask_to_rotated_boxes(
     fg,
     max_components: int = 64,
@@ -91,57 +53,83 @@ def mask_to_rotated_boxes(
     labels = connected_components(fg, sweeps=cc_sweeps)
     flat_labels = labels.reshape(-1)
     flat_idx = jnp.arange(h * w, dtype=jnp.int32)
-    roots = (flat_labels == flat_idx) & fg.reshape(-1)
-
-    # First-k roots by flat index via cumsum compaction (O(N), no sort —
-    # top_k over the whole grid was a measured hot spot on TPU).
-    root_rank = jnp.cumsum(roots) - 1
-    slot = jnp.where(roots & (root_rank < max_components), root_rank, max_components)
-    root_pos = (
-        jnp.zeros((max_components + 1,), jnp.int32)
-        .at[slot]
-        .set(flat_idx, mode="drop")[:max_components]
-    )
-    root_valid = jnp.arange(max_components) < jnp.sum(roots)
-    root_label = root_pos
+    big = jnp.int32(h * w)
 
     # ONE global sort groups every component's pixels contiguously; the
     # pixel indices ride along as a co-sorted operand (no argsort + gather).
+    # Everything else is derived from the sorted order — components in
+    # ascending-label order ARE components in first-pixel order, and segment
+    # ranks (cumsum of label-change flags) are non-decreasing, so segment
+    # starts/ends come from a binary search over the rank array. No scatter:
+    # a 113k-update `.at[slot].set` compaction was the measured hot spot
+    # (~6 ms of the 8 ms extraction at batch 8 on v5e — TPU scatters
+    # serialize per update).
     sorted_labels, order = jax.lax.sort((flat_labels, flat_idx), num_keys=1)
-    starts = jnp.searchsorted(sorted_labels, root_label).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_labels, root_label, side="right").astype(jnp.int32)
+    is_fg = sorted_labels < big
+    is_new = jnp.concatenate(
+        [is_fg[:1], (sorted_labels[1:] != sorted_labels[:-1]) & is_fg[1:]]
+    )
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment rank per position
+    n_roots = jnp.sum(is_new.astype(jnp.int32))  # distinct fg components
+    # Clamped rank is non-decreasing even past capacity / into background.
+    rank_c = jnp.where(is_fg, jnp.minimum(rank, max_components), max_components)
+    ks = jnp.arange(max_components, dtype=jnp.int32)
+    starts = jnp.searchsorted(rank_c, ks).astype(jnp.int32)
+    ends = jnp.searchsorted(rank_c, ks, side="right").astype(jnp.int32)
+    root_valid = ks < n_roots
     counts = jnp.where(root_valid, ends - starts, 0)
 
-    # Pixel coords in sorted-label order are pure arithmetic on the sort
-    # permutation (order[i] IS the pixel's flat index) — no gathers at all.
-    pad = jnp.zeros((max_pixels,), jnp.float32)
-    cols_sorted = jnp.concatenate(
-        [(order % w).astype(jnp.float32) + 0.5, pad]
-    )
-    rows_sorted = jnp.concatenate(
-        [(order // w).astype(jnp.float32) + 0.5, pad]
-    )
-
+    # Batched per-component geometry: ONE int gather pulls every component's
+    # pixel window of the sort permutation (order[i] IS the pixel's flat
+    # index), and both coordinates are arithmetic on it — TPU gathers cost
+    # ~2 ms per 64x512 window set at batch 8, so one gather, not two.
+    # The K-angle sweep is then a single dense projection + masked min/max
+    # reduction — no vmapped dynamic slices (64 per-component slices with
+    # (K, P) temps were the measured hot spot: ~6 ms of the 8 ms extraction).
+    order_pad = jnp.concatenate([order, jnp.zeros((max_pixels,), jnp.int32)])
     seg = jnp.arange(max_pixels, dtype=jnp.int32)
+    idx = starts[:, None] + seg[None, :]  # (C, P); starts ≤ h*w, pad covers P
+    order_win = order_pad[idx]  # (C, P)
+    c_all = (order_win % w).astype(jnp.float32) + 0.5
+    r_all = (order_win // w).astype(jnp.float32) + 0.5
+    weight = ((seg[None, :] < counts[:, None]) & root_valid[:, None]).astype(
+        jnp.float32
+    )  # (C, P)
 
-    def per_component(rlab, rvalid, start, count):
-        weight = ((seg < count) & rvalid).astype(jnp.float32)
-        c_seg = jax.lax.dynamic_slice_in_dim(cols_sorted, start, max_pixels)
-        r_seg = jax.lax.dynamic_slice_in_dim(rows_sorted, start, max_pixels)
-        coords = jnp.stack([c_seg, r_seg], axis=-1)
-        cx, cy, bw, bl, ang = _component_box(coords, weight, n_angles)
-        wsum = jnp.maximum(jnp.sum(weight), 1.0)
-        centroid = (
-            jnp.stack([jnp.sum(coords[:, 0] * weight), jnp.sum(coords[:, 1] * weight)])
-            / wsum
-        )
-        box = jnp.stack([cx, cy, bw, bl, ang])
-        ok = rvalid & (count >= min_pixels)
-        return box, ok, centroid
+    angles = jnp.arange(n_angles, dtype=jnp.float32) * (jnp.pi / 2.0 / n_angles)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)  # (K,)
+    pts = jnp.stack([c_all, r_all], axis=-1)  # (C, P, 2)
+    # rot columns: [u_k; v_k] for each angle → one (C, P, 2K) matmul.
+    rot = jnp.concatenate(
+        [jnp.stack([cos, sin]), jnp.stack([-sin, cos])], axis=1
+    )  # (2, 2K)
+    uv = jnp.einsum("cpi,ik->cpk", pts, rot)  # (C, P, 2K)
+    big = 1e9
+    inv = (1.0 - weight)[:, :, None] * big
+    mn = jnp.min(uv + inv, axis=1)  # (C, 2K)
+    mx = jnp.max(uv - inv, axis=1)
+    u_min, v_min = mn[:, :n_angles], mn[:, n_angles:]
+    u_max, v_max = mx[:, :n_angles], mx[:, n_angles:]
+    # +1: a single pixel spans one cell (minAreaRect of a 1-px contour is
+    # degenerate; pixel extent matches rasterization better).
+    du = u_max - u_min + 1.0  # (C, K) extent along the angle axis
+    dv = v_max - v_min + 1.0  # (C, K) perpendicular extent
+    k = jnp.argmin(du * dv, axis=1)  # (C,)
+    carange = jnp.arange(k.shape[0])
+    ang = angles[k]
+    cu = (u_min[carange, k] + u_max[carange, k]) / 2.0
+    cv_ = (v_min[carange, k] + v_max[carange, k]) / 2.0
+    cx = jnp.cos(ang) * cu - jnp.sin(ang) * cv_
+    cy = jnp.sin(ang) * cu + jnp.cos(ang) * cv_
+    boxes = jnp.stack(
+        [cx, cy, dv[carange, k], du[carange, k], ang], axis=-1
+    )  # w = perpendicular extent, l = along axis
 
-    boxes, valid, centroids = jax.vmap(per_component)(
-        root_label, root_valid, starts, counts
-    )
+    wsum = jnp.maximum(jnp.sum(weight, axis=1), 1.0)  # (C,)
+    centroids = jnp.stack(
+        [jnp.sum(c_all * weight, axis=1), jnp.sum(r_all * weight, axis=1)], axis=-1
+    ) / wsum[:, None]
+    valid = root_valid & (counts >= min_pixels)
     return boxes, valid, counts, centroids
 
 
