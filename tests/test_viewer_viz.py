@@ -76,3 +76,51 @@ class TestViewerBackend:
             assert png[:4] == b"\x89PNG"
         finally:
             server.shutdown()
+
+    def test_frontend_model_and_detect(self, tmp_path):
+        """/ serves the embedded frontend; load_model + detect run the BEV
+        pipeline (reference viewer's buildNet/inference endpoints)."""
+        from http.server import ThreadingHTTPServer
+
+        from lyft3d_tpu.serve import viewer as v
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1, samples_per_scene=1)
+        server = ThreadingHTTPServer(("127.0.0.1", 0), v.Handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            page = urllib.request.urlopen(base + "/").read().decode()
+            assert "lyft3d_tpu viewer" in page and "canvas" in page
+
+            # detect before model load → JSON error payload (HTTP 500)
+            try:
+                urllib.request.urlopen(base + "/api/detect?token=x")
+                assert False, "expected HTTP error"
+            except urllib.error.HTTPError as e:
+                assert "error" in json.loads(e.fp.read())
+
+            req = urllib.request.Request(
+                base + "/api/load_dataset",
+                data=json.dumps({"data_root": str(root)}).encode(), method="POST",
+            )
+            assert json.loads(urllib.request.urlopen(req).read())["ok"]
+            tokens = json.loads(urllib.request.urlopen(base + "/api/samples").read())["tokens"]
+
+            req = urllib.request.Request(
+                base + "/api/load_model",
+                data=json.dumps({"model": "unet_reference"}).encode(), method="POST",
+            )
+            resp = json.loads(urllib.request.urlopen(req).read())
+            assert resp["ok"] and resp["model"] == "unet_reference"
+
+            det = json.loads(
+                urllib.request.urlopen(base + f"/api/detect?token={tokens[0]}").read()
+            )
+            assert det["token"] == tokens[0]
+            assert isinstance(det["boxes_world"], list)
+            assert isinstance(det["boxes_sensor"], list)
+            for b in det["boxes_sensor"]:
+                assert len(b["box"]) == 7 and 0.0 <= b["score"] <= 1.0
+        finally:
+            server.shutdown()
