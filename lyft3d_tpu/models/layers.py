@@ -28,6 +28,66 @@ def resize_to(x: jnp.ndarray, hw: Tuple[int, int], method: str = "bilinear") -> 
     return jax.image.resize(x, (n, hw[0], hw[1], c), method=method)
 
 
+class PackedGroupedConv(nn.Module):
+    """Grouped conv run as a DENSE conv with a block-diagonal kernel.
+
+    XLA's grouped-conv lowering uses only ``1/groups`` of the MXU's 128
+    input lanes; materializing the block-diagonal dense kernel trades
+    ``groups``× redundant FLOPs for full lane occupancy — measured 1.5-1.6×
+    faster on v5e for the early SE-ResNeXt stages (inner width ≤ 256).
+    The parameter keeps the grouped shape ``(kh, kw, in/groups, features)``
+    (same tree as ``nn.Conv`` — checkpoint/torch-import compatible);
+    gradients flow through the block-diag construction back to it.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.feature_group_count
+        in_f = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_f // g, self.features),
+            jnp.float32,
+        )
+        k5 = kernel.astype(self.dtype).reshape(
+            kh, kw, in_f // g, g, self.features // g
+        )
+        eye = jnp.eye(g, dtype=self.dtype)
+        kd = jnp.einsum("hwigo,kg->hwkigo", k5, eye).reshape(
+            kh, kw, in_f, self.features
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kd,
+            window_strides=self.strides,
+            padding="SAME",
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+# Pack grouped convs into dense block-diagonal form when the inner width is
+# at or below this (measured crossover on v5e: wins at ≤256, loses at ≥512
+# where the dense FLOPs start to dominate).
+PACK_GROUPS_MAX_FEATURES = 256
+
+
 class ConvNormAct(nn.Module):
     features: int
     kernel: int = 3
@@ -36,20 +96,41 @@ class ConvNormAct(nn.Module):
     groups: int = 1
     act: bool = True
     norm: bool = True
+    pack_groups: str = "auto"  # "auto" | "never" | "always"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            padding="SAME",
-            use_bias=not self.norm,
-            dtype=self.dtype,
-        )(x)
+        pack = self.groups > 1 and (
+            self.pack_groups == "always"
+            or (
+                self.pack_groups == "auto"
+                and self.features <= PACK_GROUPS_MAX_FEATURES
+            )
+        )
+        if pack:
+            x = PackedGroupedConv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.strides, self.strides),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=not self.norm,
+                dtype=self.dtype,
+                name="Conv_0",  # same param path as the nn.Conv branch
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.strides, self.strides),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                padding="SAME",
+                use_bias=not self.norm,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         if self.norm:
             x = nn.GroupNorm(
                 num_groups=_num_groups(self.features), dtype=self.dtype

@@ -66,6 +66,10 @@ class LyftUNet(nn.Module):
     n_classes: int = 10
     decoder_features: int = 64
     aspp_features: int = 256
+    # 1x1 skip width = stage_channels // skip_reduction (the reference's
+    # ``self.planes = [c // 4 for c in stage_channels]``, unet.py:33 — so
+    # skip widths vary by backbone); 0 = fixed ``decoder_features`` width.
+    skip_reduction: int = 4
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -75,8 +79,13 @@ class LyftUNet(nn.Module):
         feats = build_backbone(self.backbone, dtype=self.dtype)(x)  # /4 /8 /16 /32
 
         # 1x1 channel reductions of the skips (down1..4, unet.py:52-58).
+        def skip_width(f):
+            if self.skip_reduction <= 0:
+                return self.decoder_features
+            return max(f.shape[-1] // self.skip_reduction, self.decoder_features)
+
         skips = [
-            ConvNormAct(self.decoder_features, kernel=1, dtype=self.dtype)(f)
+            ConvNormAct(skip_width(f), kernel=1, dtype=self.dtype)(f)
             for f in feats[:3]
         ]
 

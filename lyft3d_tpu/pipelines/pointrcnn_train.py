@@ -282,15 +282,19 @@ def eval_pointrcnn(
                 )
             Path(out_dir).mkdir(parents=True, exist_ok=True)
             write_label_file(Path(out_dir) / f"{stem}.txt", objs)
-    if verbose:
-        from lyft3d_tpu.eval.kitti_eval import recall_at
+    from lyft3d_tpu.eval.kitti_eval import recall_at
 
-        stats = {
-            f"recall@{t}": round(recall_at(gt_frames, det_frames, class_name, t), 4)
-            for t in recall_thresholds
-        }
+    # Recall-by-threshold table, always computed and returned (the
+    # reference's per-eval recall stats, eval_rcnn.py:440-463).
+    stats = {
+        f"recall@{t}": round(recall_at(gt_frames, det_frames, class_name, t), 4)
+        for t in recall_thresholds
+    }
+    stats["num_frames"] = len(gt_frames)
+    stats["num_gt"] = int(sum(len(g["boxes"]) for g in gt_frames))
+    if verbose:
         print(f"eval {class_name}: {stats}")
-    return gt_frames, det_frames
+    return gt_frames, det_frames, stats
 
 
 def cache_rcnn_samples(rpn_model, rpn_params, loader: KittiPointRCNNLoader,

@@ -87,3 +87,75 @@ class TestGradients:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+class TestPackedGroupedConv:
+    """Grouped conv == block-diagonal dense conv (MXU lane packing)."""
+
+    def test_matches_grouped_conv(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.models.layers import ConvNormAct
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 64), jnp.float32)
+        grouped = ConvNormAct(64, groups=8, norm=False, act=False,
+                              pack_groups="never", dtype=jnp.float32)
+        packed = ConvNormAct(64, groups=8, norm=False, act=False,
+                             pack_groups="always", dtype=jnp.float32)
+        pg = grouped.init(jax.random.PRNGKey(7), x)
+        pp = packed.init(jax.random.PRNGKey(7), x)
+        # identical param tree (same path, same shape) => checkpoints interop
+        assert jax.tree_util.tree_structure(pg) == jax.tree_util.tree_structure(pp)
+        kg = pg["params"]["Conv_0"]["kernel"]
+        assert kg.shape == pp["params"]["Conv_0"]["kernel"].shape == (3, 3, 8, 64)
+        out_g = grouped.apply(pg, x)
+        out_p = packed.apply(pg, x)  # same weights through the packed path
+        np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_p),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_flow_and_strides_dilation(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.models.layers import ConvNormAct
+
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 32), jnp.float32)
+        m = ConvNormAct(32, groups=4, strides=2, dilation=2, norm=False,
+                        act=False, pack_groups="always", dtype=jnp.float32)
+        ref = ConvNormAct(32, groups=4, strides=2, dilation=2, norm=False,
+                          act=False, pack_groups="never", dtype=jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m.apply(p, x)), np.asarray(ref.apply(p, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+        g = jax.grad(lambda pr: jnp.sum(m.apply(pr, x) ** 2))(p)
+        gk = np.asarray(g["params"]["Conv_0"]["kernel"])
+        assert gk.shape == (3, 3, 8, 32)
+        assert np.abs(gk).max() > 0
+
+
+def test_lyft_unet_backbone_scaled_skip_widths():
+    """Skip 1x1 reductions scale with backbone stage channels
+    (reference planes = stage_channels // 4, unet.py:33)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lyft3d_tpu.models.unet import LyftUNet
+
+    m = LyftUNet(backbone="seresnext26", n_classes=4)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)))
+    p = params["params"]
+    # stages (256, 512, 1024) // 4 -> 64, 128, 256
+    assert p["ConvNormAct_0"]["Conv_0"]["kernel"].shape[-1] == 64
+    assert p["ConvNormAct_1"]["Conv_0"]["kernel"].shape[-1] == 128
+    assert p["ConvNormAct_2"]["Conv_0"]["kernel"].shape[-1] == 256
+    logits, aux = m.apply(params, jnp.zeros((1, 64, 64, 6)))
+    assert logits.shape == (1, 64, 64, 4) and aux.shape == (1, 4)
+
+    legacy = LyftUNet(backbone="seresnext26", n_classes=4, skip_reduction=0)
+    lp = jax.jit(legacy.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)))["params"]
+    assert lp["ConvNormAct_2"]["Conv_0"]["kernel"].shape[-1] == 64

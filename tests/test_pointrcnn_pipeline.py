@@ -97,10 +97,12 @@ class TestTrainEval:
             jax.random.PRNGKey(0), jnp.asarray(s["points"]), None,
             jnp.asarray(s["points_valid"]),
         )
-        gt_frames, det_frames = eval_pointrcnn(
+        gt_frames, det_frames, stats = eval_pointrcnn(
             model, params, loader, TINY, out_dir=tmp_path / "labels"
         )
         assert len(gt_frames) == 3
+        assert "recall@0.5" in stats and stats["num_frames"] == 3
+        assert all(0.0 <= stats[f"recall@{t}"] <= 1.0 for t in (0.1, 0.3, 0.5, 0.7))
         # Untrained net → AP near 0, but the machinery must run end to end.
         ap = kitti_ap(gt_frames, det_frames, "car", 0.5, "bev")
         assert 0.0 <= ap <= 1.0
