@@ -161,6 +161,96 @@ def main() -> None:
     t_l50 = min(timed50(2 + ITERS) for _ in range(2))
     sweeps50 = BATCH * ITERS / max(t_l50 - t_s50, 1e-9)
 
+    # Release the BEV section's device buffers before the voxelnet section
+    # compiles — with both resident, the 1.1M-anchor predict program pushes
+    # the v5e-1 over HBM and crashes the worker.
+    del params, params50, points, valid, map_ch, x0
+    jax.clear_caches()
+
+    # Secondary: SECOND/voxelnet e2e (points → voxelize → PillarFeatureNet →
+    # RPN → decode+NMS) under the shipped Lyft 9-class config — the
+    # reference's `all.fhd.config` capability (BASELINE config 4).
+    from lyft3d_tpu.config import SecondExperiment, load_yaml
+    from lyft3d_tpu.models.second.voxelnet import VoxelNet, voxelnet_predict
+    from lyft3d_tpu.ops.voxelize import voxelize
+    from lyft3d_tpu.pipelines.second_train import voxelnet_config_from_experiment
+
+    SEC_BATCH = 8
+    sec_exp = load_yaml(SecondExperiment, REPO / "configs" / "second_lyft_9class.yaml")
+    vcfg = voxelnet_config_from_experiment(sec_exp)
+    vnet = VoxelNet(vcfg)
+    N_SEC = 262144  # ~10-sweep aggregation after range crop (data.max_points)
+    sec_pts = jnp.asarray(
+        np.stack(
+            [
+                np.column_stack(
+                    [
+                        rng.uniform(-49.6, 49.6, N_SEC),
+                        rng.uniform(-49.6, 49.6, N_SEC),
+                        rng.uniform(-3.0, 1.0, N_SEC),
+                    ]
+                ).astype(np.float32)
+                for _ in range(SEC_BATCH)
+            ]
+        )
+    )
+    sec_valid = jnp.ones((SEC_BATCH, N_SEC), bool)
+    vox0 = jax.vmap(
+        lambda p, v: voxelize(p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel)
+    )(sec_pts, sec_valid)
+    vparams = jax.jit(vnet.init)(
+        jax.random.PRNGKey(0),
+        vox0["voxels"][:1], vox0["num_points"][:1], vox0["coords"][:1],
+        vox0["voxel_valid"][:1],
+    )
+    anchors, _, _, acls = vcfg.make_anchors()
+
+    def sec_e2e(params, points, valid):
+        vox = jax.vmap(
+            lambda p, v: voxelize(
+                p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel
+            )
+        )(points, valid)
+        preds = vnet.apply(
+            params, vox["voxels"], vox["num_points"], vox["coords"], vox["voxel_valid"]
+        )
+        det = jax.vmap(
+            lambda b, c, d: voxelnet_predict(
+                {"box": b, "cls": c, "dir": d}, anchors, acls, vcfg
+            )
+        )(preds["box"], preds["cls"], preds["dir"])
+        return det["boxes"], det["scores"]
+
+    def sec_repeated(params, points, valid, iters):
+        def body(i, acc):
+            p = points + (i.astype(jnp.float32) * 1e-6)
+            boxes, scores = sec_e2e(params, p, valid)
+            return acc + jnp.sum(scores) + jnp.sum(jnp.abs(boxes))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    sec_repeated = jax.jit(sec_repeated, static_argnums=(3,))
+
+    def sec_timed(iters):
+        t0 = time.perf_counter()
+        float(sec_repeated(vparams, sec_pts, sec_valid, iters))
+        return time.perf_counter() - t0
+
+    # The 1.1M-anchor program occasionally crashes the experimental axon
+    # TPU relay (nondeterministic UNAVAILABLE "kernel fault"; every sub-op
+    # passes in isolation) — never let the secondary metric kill the
+    # headline one.
+    sweeps_sec_second = None
+    sec_error = None
+    try:
+        float(sec_repeated(vparams, sec_pts, sec_valid, 1))
+        float(sec_repeated(vparams, sec_pts, sec_valid, 1 + ITERS))
+        t_ss = min(sec_timed(1) for _ in range(2))
+        t_sl = min(sec_timed(1 + ITERS) for _ in range(2))
+        sweeps_sec_second = round(SEC_BATCH * ITERS / max(t_sl - t_ss, 1e-9), 3)
+    except Exception as e:  # relay crash → report, keep the BEV headline
+        sec_error = type(e).__name__
+
     baseline_file = REPO / "CPU_BASELINE.json"
     if baseline_file.exists():
         baseline = json.loads(baseline_file.read_text())["sweeps_per_sec"]
@@ -181,6 +271,9 @@ def main() -> None:
             "points_per_sweep": N_POINTS,
             "model": "unet_seresnext101 bf16 336x336x6",
             "tpu_optimal_variant_unet_resnet50_sweeps_per_sec": round(sweeps50, 3),
+            "voxelnet_lyft9_e2e_samples_per_sec": sweeps_sec_second,
+            "voxelnet_points_per_sample": N_SEC,
+            "voxelnet_bench_error": sec_error,
             "cpu_baseline_sweeps_per_sec": baseline if baseline == baseline else None,
         },
     }

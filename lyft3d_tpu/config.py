@@ -121,6 +121,14 @@ def apply_overrides(cfg, overrides: List[str]):
             node = node[p]
         if parts[-1] not in node:
             raise KeyError(f"unknown override key: {key}")
+        old = node[parts[-1]]
+        if isinstance(value, str) and not isinstance(old, str) and old is not None:
+            # Non-JSON text like `(1,2)` silently becomes a string and fails
+            # deep inside jit — catch it at the CLI boundary instead.
+            raise ValueError(
+                f"override {key}={raw!r} parsed as a string but the field is "
+                f"{type(old).__name__}; use JSON syntax (e.g. [1,2,3], true, 1.5)"
+            )
         node[parts[-1]] = value
     return from_dict(type(cfg), data)
 
@@ -197,6 +205,14 @@ class SecondExperiment:
     middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
     similarity: str = "nearest"  # anchor matching: nearest | rotated
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
+    # RPN topology (all.fhd.config rpn block: layer_nums, layer_strides,
+    # num_filters, upsample_strides, num_upsample_filters). up_strides[0]
+    # < 1 coarsens the anchor grid (the reference lands at ~62²).
+    rpn_layer_nums: Tuple[int, ...] = (3, 5, 5)
+    rpn_strides: Tuple[int, ...] = (2, 2, 2)
+    rpn_filters: Tuple[int, ...] = (64, 128, 256)
+    rpn_up_strides: Tuple[float, ...] = (1, 2, 4)
+    rpn_up_filters: Tuple[int, ...] = (128, 128, 128)
     batch_size: int = 8
     num_sweeps: int = 10
     db_sampler_quota: Dict[str, int] = field(default_factory=dict)

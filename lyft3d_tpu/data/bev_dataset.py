@@ -115,6 +115,12 @@ class BEVImageDataset:
     def __len__(self) -> int:
         return len(self.tokens)
 
+    def assemble(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Stack a batch from indices (thread-safe: cv2 + numpy release the
+        GIL; RandomState calls are individually locked)."""
+        xs, ys = zip(*(self.load(i) for i in idxs))
+        return {"image": np.stack(xs), "label": np.stack(ys)}
+
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         import cv2
 
@@ -144,19 +150,27 @@ class BEVImageDataset:
         return x, y
 
 
+def index_batches(
+    n_items: int, batch_size: int, steps: int, seed: int = 0
+) -> Iterator[List[int]]:
+    """Shuffled epoch-cycling index chunks (per-epoch reseed like the
+    reference's per-epoch seed bump, unet-training-with-map.py:334) — the
+    cheap work stream for MappedPrefetcher."""
+    rng = np.random.RandomState(seed)
+    order: List[int] = []
+    for _ in range(steps):
+        while len(order) < batch_size:
+            order.extend(rng.permutation(n_items).tolist())
+        take, order = order[:batch_size], order[batch_size:]
+        yield take
+
+
 def batch_iterator(
     dataset: BEVImageDataset,
     batch_size: int,
     steps: int,
     seed: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffled epoch-cycling batches (per-epoch reseed like the reference's
-    per-epoch seed bump, unet-training-with-map.py:334)."""
-    rng = np.random.RandomState(seed)
-    order: List[int] = []
-    for _ in range(steps):
-        while len(order) < batch_size:
-            order.extend(rng.permutation(len(dataset)).tolist())
-        take, order = order[:batch_size], order[batch_size:]
-        xs, ys = zip(*(dataset.load(i) for i in take))
-        yield {"image": np.stack(xs), "label": np.stack(ys)}
+    """Shuffled epoch-cycling batches (single-threaded convenience)."""
+    for take in index_batches(len(dataset), batch_size, steps, seed):
+        yield dataset.assemble(take)

@@ -199,28 +199,67 @@ def default_calibration() -> Calibration:
     return Calibration(p2=p2, r0=np.eye(3), tr_velo_to_cam=tr)
 
 
+def camera_calibration(db, sample: dict, cam_channel: str = "CAM_FRONT"
+                       ) -> Optional[Calibration]:
+    """Real per-sample calibration from the camera's calibrated_sensor:
+    P2 = [K|0], Tr_velo_to_cam = T_cam_from_ego · T_ego_from_lidar
+    (the extrinsic composition of process_token_to_kitti,
+    export_kitti.py:126-249). None when the sample has no camera."""
+    from lyft3d_tpu.core.geometry import transform_matrix
+    from lyft3d_tpu.core.quaternion import quat_inverse
+
+    if cam_channel not in sample.get("data", {}):
+        return None
+    cam_sd = db.get("sample_data", sample["data"][cam_channel])
+    lid_sd = db.get("sample_data", sample["data"]["LIDAR_TOP"])
+    cs_cam = db.get("calibrated_sensor", cam_sd["calibrated_sensor_token"])
+    cs_lid = db.get("calibrated_sensor", lid_sd["calibrated_sensor_token"])
+    if not cs_cam.get("camera_intrinsic"):
+        return None
+    ego_from_lidar = transform_matrix(cs_lid["translation"], cs_lid["rotation"])
+    cam_from_ego = transform_matrix(
+        cs_cam["translation"], cs_cam["rotation"], inverse=True
+    )
+    velo_to_cam = (cam_from_ego @ ego_from_lidar)[:3, :]
+    p2 = np.zeros((3, 4))
+    p2[:3, :3] = np.asarray(cs_cam["camera_intrinsic"], np.float64)
+    return Calibration(p2=p2, r0=np.eye(3), tr_velo_to_cam=velo_to_cam)
+
+
 def export_kitti(db, out_dir, sample_tokens: Optional[Sequence[str]] = None,
-                 classes: Optional[Sequence[str]] = None) -> Path:
-    """Write a KITTI-layout tree (velodyne/, calib/, label_2/) from a LyftDB
-    (export_kitti.py:56-249 capability; image_2 omitted — lidar pipelines
-    never read it)."""
+                 classes: Optional[Sequence[str]] = None,
+                 cam_channel: str = "CAM_FRONT") -> Path:
+    """Write a KITTI-layout tree (velodyne/, calib/, label_2/, and — when
+    the dataset has camera data — image_2/ with real P2/Tr_velo_to_cam)
+    from a LyftDB (export_kitti.py:56-249 capability)."""
+    import cv2
+
     from lyft3d_tpu.data.pointcloud import LidarPointCloud
 
     out = Path(out_dir)
     for sub in ("velodyne", "calib", "label_2", "ImageSets"):
         (out / sub).mkdir(parents=True, exist_ok=True)
-    calib = default_calibration()
+    default_calib = default_calibration()
     tokens = sample_tokens or [s["token"] for s in db.sample]
     index = []
     for i, tok in enumerate(tokens):
         stem = f"{i:06d}"
         index.append((stem, tok))
-        sd_token = db.get("sample", tok)["data"]["LIDAR_TOP"]
+        sample = db.get("sample", tok)
+        sd_token = sample["data"]["LIDAR_TOP"]
         pc = LidarPointCloud.from_file(db.get_sample_data_path(sd_token))
         pts5 = np.zeros((len(pc), 4), np.float32)
         pts5[:, :4] = pc.points[:, :4]
         pts5.tofile(out / "velodyne" / f"{stem}.bin")
+
+        calib = camera_calibration(db, sample, cam_channel) or default_calib
         calib.to_file(out / "calib" / f"{stem}.txt")
+        if cam_channel in sample.get("data", {}):
+            img_path = db.get_sample_data_path(sample["data"][cam_channel])
+            img = cv2.imread(str(img_path))
+            if img is not None:
+                (out / "image_2").mkdir(exist_ok=True)
+                cv2.imwrite(str(out / "image_2" / f"{stem}.png"), img)
 
         objects = []
         for box in db.get_boxes_in_sensor_frame(sd_token):

@@ -104,6 +104,27 @@ def make_synthetic_lyft(
             "camera_intrinsic": [],
         }
     )
+    # Forward camera (for image_2 KITTI export / projection paths): camera
+    # frame z-forward = ego +x, x-right = ego −y, y-down = ego −z — the
+    # standard nuScenes/Lyft camera convention, quaternion [.5,-.5,.5,-.5].
+    tables["sensor"].append(
+        {"token": "sensor_cam", "channel": "CAM_FRONT", "modality": "camera"}
+    )
+    cam_wh = (64, 48)
+    tables["calibrated_sensor"].append(
+        {
+            "token": "cs_cam",
+            "sensor_token": "sensor_cam",
+            "translation": [1.5, 0.0, 1.5],
+            "rotation": [0.5, -0.5, 0.5, -0.5],
+            "camera_intrinsic": [
+                [50.0, 0.0, cam_wh[0] / 2.0],
+                [0.0, 50.0, cam_wh[1] / 2.0],
+                [0.0, 0.0, 1.0],
+            ],
+        }
+    )
+    (root / "images").mkdir(exist_ok=True)
 
     # One shared map: a horizontal road band through the middle.
     map_img = np.zeros((map_size_px, map_size_px), dtype=np.uint8)
@@ -219,6 +240,29 @@ def make_synthetic_lyft(
             if prev_sd:
                 tables["sample_data"][-2]["next"] = sd_token
             prev_sd = sd_token
+
+            # Camera frame: a tiny gradient PNG per keyframe.
+            cam_sd = _tok("sdcam", sd_counter)
+            cam_file = f"images/{cam_sd}.png"
+            grad = (
+                np.linspace(0, 255, cam_wh[0], dtype=np.float32)[None, :]
+                + rng.uniform(0, 32, (cam_wh[1], cam_wh[0]))
+            ).clip(0, 255).astype(np.uint8)
+            Image.fromarray(grad).save(root / cam_file)
+            tables["sample_data"].append(
+                {
+                    "token": cam_sd,
+                    "sample_token": stoken,
+                    "ego_pose_token": pose_token,
+                    "calibrated_sensor_token": "cs_cam",
+                    "timestamp": ts,
+                    "fileformat": "png",
+                    "is_key_frame": True,
+                    "filename": cam_file,
+                    "prev": "",
+                    "next": "",
+                }
+            )
 
             tables["sample"].append(
                 {

@@ -86,9 +86,14 @@ class VoxelNetConfig:
 
     @property
     def feature_hw(self) -> Tuple[int, int]:
+        # The RPN concatenates every block resized to block0's output scaled
+        # by up_strides[0] (rpn.py RPNNoHeadBase semantics), so the anchor
+        # grid is grid / (middle_ds * rpn_strides[0] / rpn_up_strides[0]).
+        # The reference all.fhd lands at ~62² (69k anchors for 9 classes);
+        # up_strides[0] < 1 reproduces that coarsening.
         nx, ny, _ = self.grid.grid_size
-        ds = self.middle_downsample * self.rpn_strides[0]
-        return (ny // ds, nx // ds)
+        ds = self.middle_downsample * self.rpn_strides[0] / self.rpn_up_strides[0]
+        return (int(round(ny / ds)), int(round(nx / ds)))
 
     @property
     def anchors_per_loc(self) -> int:

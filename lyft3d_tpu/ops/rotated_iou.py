@@ -3,9 +3,14 @@
 TPU-native replacement for the reference's polygon-clipping CUDA kernels
 (``PointRCNN/lib/utils/iou3d/src/iou3d_kernel.cu:50-236`` and the numba-CUDA
 ``second/second/core/non_max_suppression/nms_gpu.py:511+``). Instead of the
-sequential per-pair vertex walk, we clip with fixed-capacity vertex buffers
-(a convex quad clipped by 4 half-planes has ≤ 8 vertices) so the whole
-(N, M) IoU matrix is one fused vmap — all static shapes, XLA-friendly.
+sequential per-pair vertex walk, each half-plane clip works on an
+UNCOMPACTED cyclic vertex ring: dropped slots are forward-filled with the
+previous emitted vertex by an associative scan, so consecutive duplicates
+(zero-width edges, area-neutral under the shoelace formula) stand in for
+compaction. Everything is rolls/scans/elementwise — no scatters or gathers
+(a scatter-based compaction inside the doubly-vmapped pairwise map crashed
+the TPU runtime at NMS sizes), so the (N, M) IoU matrix is one fused vmap
+with static shapes.
 
 BEV boxes are (..., 5) ``[x, y, w, l, yaw]``; 3D boxes (..., 7)
 ``[x, y, z, w, l, h, yaw]`` (z = center).
@@ -26,67 +31,63 @@ __all__ = [
     "standup_iou",
 ]
 
-_MAX_VERTS = 8
+def _clip_halfplane_ring(ring, a, b):
+    """Scatter-free half-plane clip of a cyclic vertex ring.
 
+    ``ring`` is a (K, 2) closed polygon as a cyclic vertex list in which
+    consecutive duplicates are allowed (zero-width edges are area-neutral).
+    Each edge emits up to two candidates — the crossing point and the
+    endpoint — and slots whose candidate is not emitted are forward-filled
+    with the previous emitted vertex by an associative "last-flagged" scan
+    over a doubled ring (cyclic wraparound). Output is (2K, 2).
 
-def _clip_halfplane(verts, count, a, b):
-    """Clip a convex polygon by the half-plane left of the directed edge a→b.
-
-    Args:
-        verts: (K, 2) padded vertex buffer (first ``count`` valid, CCW).
-        count: scalar int32 number of valid vertices.
-        a, b: (2,) clip-edge endpoints (CCW edge of the clip polygon).
-
-    Returns:
-        (new_verts, new_count) with the same buffer size.
+    This replaces the cumsum+scatter compaction: a scatter inside the
+    doubly-vmapped pairwise clip reliably crashed the TPU runtime
+    ("kernel fault") at NMS sizes; rolls/scans/elementwise lower cleanly.
     """
-    k = verts.shape[0]
     d = b - a
-    rel = verts - a[None, :]
+    rel = ring - a[None, :]
     side = d[0] * rel[:, 1] - d[1] * rel[:, 0]  # >0 = inside (left of a→b)
-
-    idx = jnp.arange(k)
-    nxt = jnp.where(idx >= count - 1, 0, idx + 1)
-    e = verts[nxt]
-    s_side = side
-    e_side = side[nxt]
-    valid_edge = idx < count
-
-    s_in = s_side >= 0.0
+    e = jnp.roll(ring, -1, axis=0)
+    e_side = jnp.roll(side, -1)
+    s_in = side >= 0.0
     e_in = e_side >= 0.0
-    denom = s_side - e_side
-    t = s_side / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    inter = verts + (e - verts) * t[:, None]
+    denom = side - e_side
+    t = side / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    inter = ring + (e - ring) * t[:, None]
 
-    # Per edge, in order: [crossing intersection?, endpoint e?]
-    emit0 = valid_edge & (s_in != e_in)
-    emit1 = valid_edge & e_in
+    k = ring.shape[0]
     cand = jnp.stack([inter, e], axis=1).reshape(2 * k, 2)
-    emit = jnp.stack([emit0, emit1], axis=1).reshape(2 * k)
+    emit = jnp.stack([s_in != e_in, e_in], axis=1).reshape(2 * k)
 
-    pos = jnp.cumsum(emit) - 1
-    scatter_idx = jnp.where(emit, pos, k)  # out-of-range rows dropped
-    out = jnp.zeros_like(verts).at[scatter_idx].set(cand, mode="drop")
-    return out, jnp.sum(emit).astype(jnp.int32)
+    cand2 = jnp.concatenate([cand, cand], axis=0)
+    emit2 = jnp.concatenate([emit, emit], axis=0)
+
+    def last_flagged(left, right):
+        pl, vl = left
+        pr, vr = right
+        return jnp.where(vr[:, None], pr, pl), vl | vr
+
+    filled, _ = jax.lax.associative_scan(last_flagged, (cand2, emit2), axis=0)
+    out = filled[2 * k :]
+    # Degenerate (empty intersection): no emits anywhere → collapse to a
+    # point so the shoelace area is exactly 0.
+    return jnp.where(jnp.any(emit), out, jnp.zeros_like(out))
 
 
-def _polygon_area(verts, count):
-    """Shoelace area of the first ``count`` vertices of a padded buffer."""
-    k = verts.shape[0]
-    idx = jnp.arange(k)
-    nxt = jnp.where(idx >= count - 1, 0, idx + 1)
-    v2 = verts[nxt]
-    cross = verts[:, 0] * v2[:, 1] - verts[:, 1] * v2[:, 0]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(idx < count, cross, 0.0)))
+def _ring_area(ring):
+    """Shoelace area of a cyclic vertex ring (duplicates allowed)."""
+    nxt = jnp.roll(ring, -1, axis=0)
+    cross = ring[:, 0] * nxt[:, 1] - ring[:, 1] * nxt[:, 0]
+    return 0.5 * jnp.abs(jnp.sum(cross))
 
 
 def polygon_intersection_area(corners1, corners2):
     """Intersection area of two convex quads given as (4, 2) CCW corners."""
-    verts = jnp.zeros((_MAX_VERTS, 2), dtype=corners1.dtype).at[:4].set(corners1)
-    count = jnp.asarray(4, dtype=jnp.int32)
+    ring = corners1  # (4, 2); grows 2x per clip: 8, 16, 32, 64
     for i in range(4):
-        verts, count = _clip_halfplane(verts, count, corners2[i], corners2[(i + 1) % 4])
-    return _polygon_area(verts, count)
+        ring = _clip_halfplane_ring(ring, corners2[i], corners2[(i + 1) % 4])
+    return _ring_area(ring)
 
 
 _ROW_CHUNK = 64

@@ -33,6 +33,7 @@ def train_bev(
     n_devices: Optional[int] = None,
     log_every: int = 50,
     eval_every: int = 500,
+    num_workers: int = 4,
     dtype=jnp.bfloat16,
 ):
     """Train a BEV segmentation model from a generated PNG dataset."""
@@ -104,12 +105,17 @@ def train_bev(
     snapshot_config(cfg, cfg.model_dir)
     trainer = Trainer(model, tx, loss_fn, tcfg, mesh=mesh, eval_fn=eval_fn)
     state = trainer.init_or_resume(replicate(mesh, params))
-    from lyft3d_tpu.data.prefetch import ThreadedPrefetcher
+    from lyft3d_tpu.data.bev_dataset import index_batches
+    from lyft3d_tpu.data.prefetch import MappedPrefetcher
 
-    batches = ThreadedPrefetcher(
-        lambda: batch_iterator(
-            train_ds, cfg.batch_size, steps=opt.total_steps, seed=cfg.data.seed
+    # Work items are cheap index chunks; imread + augmentation runs on
+    # parallel workers (the reference's DataLoader num_workers).
+    batches = MappedPrefetcher(
+        lambda: index_batches(
+            len(train_ds), cfg.batch_size, steps=opt.total_steps, seed=cfg.data.seed
         ),
+        lambda take: train_ds.assemble(take),
+        num_workers=num_workers,
         depth=4,
     )
     state = trainer.fit(state, iter(batches))

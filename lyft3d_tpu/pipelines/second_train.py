@@ -55,6 +55,11 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         middle=exp.middle,
         similarity=exp.similarity,
         anchor_specs=specs,
+        rpn_layer_nums=tuple(exp.rpn_layer_nums),
+        rpn_strides=tuple(exp.rpn_strides),
+        rpn_filters=tuple(exp.rpn_filters),
+        rpn_up_strides=tuple(exp.rpn_up_strides),
+        rpn_up_filters=tuple(exp.rpn_up_filters),
         **overrides,
     )
 
@@ -119,6 +124,7 @@ def train_second(
     vcfg: Optional[VoxelNetConfig] = None,
     n_devices: Optional[int] = None,
     log_every: int = 50,
+    num_workers: int = 4,
     dtype=jnp.bfloat16,
 ):
     vcfg = vcfg or voxelnet_config_from_experiment(exp)
@@ -147,18 +153,27 @@ def train_second(
     trainer = Trainer(model, tx, make_second_loss_fn(vcfg), tcfg, mesh=mesh)
     state = trainer.init_or_resume(replicate(mesh, params))
 
-    def batches():
+    def token_chunks():
         rng = np.random.RandomState(exp.data.seed)
         toks = list(train_tokens)
         while True:
             rng.shuffle(toks)
             for i in range(0, len(toks) - exp.batch_size + 1, exp.batch_size):
-                b = loader.batch(toks[i : i + exp.batch_size], train=True)
-                yield {k: jnp.asarray(v) for k, v in b.items()}
+                yield toks[i : i + exp.batch_size]
 
-    from lyft3d_tpu.data.prefetch import ThreadedPrefetcher
+    def assemble(chunk):
+        b = loader.batch(chunk, train=True)
+        return {k: jnp.asarray(v) for k, v in b.items()}
 
-    state = trainer.fit(state, iter(ThreadedPrefetcher(batches, depth=4)))
+    from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+    # Work items are cheap token chunks; the heavy sample assembly
+    # (multi-sweep load + augmentation) runs on parallel workers.
+    state = trainer.fit(
+        state,
+        iter(MappedPrefetcher(token_chunks, assemble, num_workers=num_workers,
+                              depth=4)),
+    )
     return state, model, vcfg
 
 

@@ -79,3 +79,17 @@ class TestConfigTools:
         assert out.point_cloud_range == (-20, -20, -3, 20, 20, 3)
         assert exp.point_cloud_range != out.point_cloud_range  # original intact
         assert out.anchors == exp.anchors
+
+
+def test_override_type_mismatch_raises():
+    """Non-JSON text for a typed field fails at the CLI boundary, not in jit."""
+    import pytest
+
+    from lyft3d_tpu.config import BEVExperiment, apply_overrides
+
+    with pytest.raises(ValueError, match="JSON syntax"):
+        apply_overrides(BEVExperiment(), ["voxel_size=(0.4,0.4,1.5)"])
+    # JSON list is fine, and strings stay strings.
+    cfg = apply_overrides(BEVExperiment(), ["voxel_size=[0.4,0.4,1.5]", "model=unet_reference"])
+    assert tuple(cfg.voxel_size) == (0.4, 0.4, 1.5)
+    assert cfg.model == "unet_reference"

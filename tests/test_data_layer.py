@@ -24,7 +24,8 @@ class TestLyftDB:
     def test_tables_loaded(self, db):
         assert len(db.scene) == 2
         assert len(db.sample) == 6
-        assert len(db.sample_data) == 6
+        # one lidar + one camera sample_data per keyframe
+        assert len(db.sample_data) == 12
         assert len(db.category) == 9
         assert len(db.sample_annotation) == 2 * 3 * 6
 

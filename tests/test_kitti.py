@@ -159,3 +159,50 @@ class TestKittiAP:
         assert len(table["car"]["3d"]) == 3
         assert table["car"]["bev"][1] > 0.9
         assert table["pedestrian"]["3d"][0] == 0.0
+
+
+class TestCameraExport:
+    def test_image2_and_real_calibration(self, tmp_path):
+        """image_2 PNGs + real P2/Tr_velo_to_cam when the dataset has a
+        camera (export_kitti.py:126-249 image/calib capability)."""
+        import numpy as np
+
+        from lyft3d_tpu.data.kitti import Calibration, export_kitti
+        from lyft3d_tpu.data.lyftdb import LyftDB
+        from lyft3d_tpu.data.synthetic import make_synthetic_lyft
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1,
+                                   samples_per_scene=2, classes=["car"])
+        db = LyftDB(root, root / "data")
+        out = export_kitti(db, tmp_path / "kitti")
+
+        imgs = sorted((out / "image_2").glob("*.png"))
+        assert len(imgs) == 2
+
+        calib = Calibration.from_file(out / "calib" / "000000.txt")
+        # P2 carries the synthetic camera intrinsics (fx=fy=50, cx=32, cy=24).
+        assert np.allclose(calib.p2[0, 0], 50.0) and np.allclose(calib.p2[0, 2], 32.0)
+        # Tr maps lidar +x (forward) to camera +z (optical axis): the lidar
+        # sits at z=1.8 on the ego, camera at x=1.5, z=1.5.
+        fwd = calib.tr_velo_to_cam @ np.array([10.0, 0.0, 0.0, 1.0])
+        assert fwd[2] > 8.0  # well in front of the camera
+        assert abs(fwd[0]) < 1.0  # near the optical axis
+
+    def test_lidar_only_dataset_still_exports(self, tmp_path):
+        """No camera → default calibration, no image_2 (old behavior)."""
+        import json
+
+        from lyft3d_tpu.data.kitti import export_kitti
+        from lyft3d_tpu.data.lyftdb import LyftDB
+        from lyft3d_tpu.data.synthetic import make_synthetic_lyft
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1,
+                                   samples_per_scene=1)
+        # strip the camera rows to simulate a lidar-only dataset
+        sd = json.loads((root / "data" / "sample_data.json").read_text())
+        sd = [r for r in sd if r["calibrated_sensor_token"] != "cs_cam"]
+        (root / "data" / "sample_data.json").write_text(json.dumps(sd))
+        db = LyftDB(root, root / "data")
+        out = export_kitti(db, tmp_path / "kitti")
+        assert (out / "velodyne" / "000000.bin").exists()
+        assert not (out / "image_2").exists()

@@ -89,3 +89,50 @@ class TestMeasureTimeEval:
         out = capsys.readouterr().out
         assert "sec_per_example" in out
         assert isinstance(records, list)
+
+
+class TestMappedPrefetcher:
+    def test_ordered_output_matches_serial(self):
+        from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+        out = list(MappedPrefetcher(lambda: range(50), lambda i: i * i,
+                                    num_workers=4, depth=4))
+        assert out == [i * i for i in range(50)]
+
+    def test_parallel_speedup_over_lockstepped_map(self):
+        import time
+
+        from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+        def slow_map(i):
+            time.sleep(0.02)
+            return i
+
+        t0 = time.perf_counter()
+        out = list(MappedPrefetcher(lambda: range(40), slow_map,
+                                    num_workers=8, depth=8))
+        dt = time.perf_counter() - t0
+        assert out == list(range(40))
+        # serial would be >= 0.8s; 8 workers should land well under half.
+        assert dt < 0.45, f"no parallel speedup: {dt:.2f}s"
+
+    def test_map_error_propagates(self):
+        import pytest
+
+        from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+        def bad(i):
+            if i == 5:
+                raise ValueError("boom")
+            return i
+
+        with pytest.raises(ValueError, match="boom"):
+            list(MappedPrefetcher(lambda: range(100000000), bad,
+                                  num_workers=3, depth=4))
+
+    def test_unordered_mode_yields_everything(self):
+        from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+        out = list(MappedPrefetcher(lambda: range(30), lambda i: i,
+                                    num_workers=4, depth=4, ordered=False))
+        assert sorted(out) == list(range(30))

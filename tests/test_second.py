@@ -386,3 +386,21 @@ class TestPrunedAssign:
                                     mask, max_active=64)
         lab = np.asarray(out["labels"])
         assert (lab != -1).sum() == 64  # only the first 64 active slots decided
+
+
+def test_feature_hw_respects_fractional_up_strides():
+    """Anchor grid = grid / (middle_ds * rpn_strides[0] / up_strides[0]) —
+    the reference all.fhd lands its 9-class head at ~62² (69k anchors) via
+    upsample_strides < 1; feature_hw must match the RPN's actual output."""
+    from lyft3d_tpu.models.second.voxelnet import VoxelNetConfig
+    from lyft3d_tpu.ops.voxelize import VoxelGrid
+
+    grid = VoxelGrid(point_cloud_range=(-49.6, -49.6, -5.0, 49.6, 49.6, 3.0),
+                     voxel_size=(0.2, 0.2, 8.0))
+    cfg = VoxelNetConfig(grid=grid, rpn_up_strides=(0.25, 0.5, 1))
+    assert cfg.feature_hw == (62, 62)
+    anchors, _, _, _ = cfg.make_anchors()
+    assert anchors.shape[0] == 62 * 62 * cfg.anchors_per_loc
+
+    default = VoxelNetConfig(grid=grid)  # up_strides[0]=1 -> grid/2
+    assert default.feature_hw == (248, 248)
