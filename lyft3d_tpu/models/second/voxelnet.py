@@ -87,13 +87,26 @@ class VoxelNetConfig:
     @property
     def feature_hw(self) -> Tuple[int, int]:
         # The RPN concatenates every block resized to block0's output scaled
-        # by up_strides[0] (rpn.py RPNNoHeadBase semantics), so the anchor
-        # grid is grid / (middle_ds * rpn_strides[0] / rpn_up_strides[0]).
-        # The reference all.fhd lands at ~62² (69k anchors for 9 classes);
-        # up_strides[0] < 1 reproduces that coarsening.
+        # by up_strides[0] (rpn.py RPNNoHeadBase semantics). Mirror the conv
+        # arithmetic stage by stage — a rounded grid/ds ratio disagrees with
+        # the convs at odd sizes (round-half-even vs ceil), which skewed the
+        # anchor grid off the prediction grid. The reference all.fhd lands
+        # at ~62² (69k anchors for 9 classes); up_strides[0] < 1 reproduces
+        # that coarsening.
         nx, ny, _ = self.grid.grid_size
-        ds = self.middle_downsample * self.rpn_strides[0] / self.rpn_up_strides[0]
-        return (int(round(ny / ds)), int(round(nx / ds)))
+        h, w = ny, nx
+        if self.middle == "sparse":
+            # Each stage: strided sparse conv, k=3, p=1 (sparse_conv.py
+            # downsample_coords): n -> (n + 2 - 3)//2 + 1.
+            for _ in self.middle_features:
+                h = (h - 1) // 2 + 1
+                w = (w - 1) // 2 + 1
+        # RPN block0: SAME-padded conv, stride s: n -> ceil(n/s).
+        s0 = self.rpn_strides[0]
+        h = -(-h // s0)
+        w = -(-w // s0)
+        # resize_to block0's hw scaled by up_strides[0] (int() like rpn.py).
+        return (int(h * self.rpn_up_strides[0]), int(w * self.rpn_up_strides[0]))
 
     @property
     def anchors_per_loc(self) -> int:

@@ -4,14 +4,19 @@ TPU-native replacement for spconv's C++ ``VoxelGeneratorV2``
 (``second/second/builder/voxel_builder.py:23-32``): points → (voxels,
 coords, num_points) with ``max_voxels`` / ``max_points_per_voxel`` caps.
 
-Formulation: one sort of per-point flat voxel ids groups points by voxel;
-unique voxels are segment heads in the sorted order; each voxel gathers a
-contiguous slice of its points. Everything static-shape — overflow policy is
-the reference's (first-come voxels win, extra points dropped).
+Formulation: one multi-operand sort carries the point payload with its flat
+voxel id, so points land contiguously per voxel; unique voxels are segment
+heads in the sorted order. Head positions + voxel ids come from a second
+(key, payload) sort — a compaction — instead of scatter-min (measured 2×7 ms
+slower as scatters on v5e), and each voxel's points are read with a vmapped
+``dynamic_slice`` on the padded sorted array (contiguous 16-row slices;
+measured 2.3× faster than a flat row gather, 5× than scatter-build).
+Everything static-shape — overflow policy is the reference's (extra voxels
+and extra points per voxel dropped).
 
-Returns voxel ids in first-point-seen order? No — in flat-id (sorted) order;
-the detector is order-invariant so this only changes tie-breaking vs the
-reference's hash-insertion order.
+Returns voxel ids in flat-id (sorted) order, not the reference's
+hash-insertion order; the detector is order-invariant so this only changes
+tie-breaking.
 """
 
 from __future__ import annotations
@@ -71,8 +76,17 @@ def voxelize(
     big = jnp.int32(nx * ny * nz)
     flat = jnp.where(inb, flat, big)
 
-    order = jnp.argsort(flat).astype(jnp.int32)  # invalid ids sort last
-    sorted_ids = flat[order]
+    # One sort carries the full point payload + original index (invalid ids
+    # sort last) — sorted points are contiguous per voxel.
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    sorted_all = jax.lax.sort(
+        (flat, arange_n) + tuple(points[:, j] for j in range(d)),
+        dimension=0,
+        num_keys=1,
+        is_stable=False,
+    )
+    sorted_ids, orig_idx = sorted_all[0], sorted_all[1]
+    sorted_pts = jnp.stack(sorted_all[2:], axis=-1)  # (N, D)
 
     # Segment heads in sorted order = unique voxels.
     is_head = jnp.concatenate(
@@ -82,14 +96,18 @@ def voxelize(
     slot_of_sorted = jnp.cumsum(is_head) - 1  # (N,)
     num_unique = jnp.sum(is_head)
 
-    # Head positions → per-slot segment start and voxel id.
-    head_rank = jnp.where(is_head, slot_of_sorted, max_voxels)
-    starts = jnp.full((max_voxels + 1,), n, jnp.int32).at[head_rank].min(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )[:max_voxels]
-    voxel_ids = jnp.full((max_voxels + 1,), big, jnp.int32).at[head_rank].min(
-        sorted_ids, mode="drop"
-    )[:max_voxels]
+    # Head positions + voxel ids via a compaction sort: heads keep their
+    # position as key, non-heads sink with key n+pos (stable-ordered tail).
+    head_key = jnp.where(is_head, arange_n, n + arange_n)
+    starts_full, vids_full = jax.lax.sort(
+        (head_key, sorted_ids), dimension=0, num_keys=1, is_stable=False
+    )
+    starts = jnp.minimum(starts_full[:max_voxels], n)  # tail keys are n+pos
+    voxel_ids = vids_full[:max_voxels]
+    if n < max_voxels:  # fewer points than voxel slots: pad the compaction
+        pad = max_voxels - n
+        starts = jnp.concatenate([starts, jnp.full((pad,), n, jnp.int32)])
+        voxel_ids = jnp.concatenate([voxel_ids, jnp.full((pad,), big)])
     voxel_valid = (jnp.arange(max_voxels) < num_unique) & (voxel_ids < big)
 
     # Per-voxel point counts via segment boundaries.
@@ -100,11 +118,16 @@ def voxelize(
     counts = jnp.where(voxel_valid, ends - starts, 0)
     num_points = jnp.minimum(counts, max_points_per_voxel)
 
-    # Gather up to max_points_per_voxel contiguous sorted points per voxel.
+    # Contiguous per-voxel slices from the padded sorted payload (vmapped
+    # dynamic_slice — no row gather; padding keeps every start in bounds).
+    padded = jnp.concatenate(
+        [sorted_pts, jnp.zeros((max_points_per_voxel, d), points.dtype)], axis=0
+    )
+    voxels = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(padded, (s0, 0), (max_points_per_voxel, d))
+    )(starts)
     seg = jnp.arange(max_points_per_voxel, dtype=jnp.int32)
-    gidx = jnp.clip(starts[:, None] + seg[None, :], 0, n - 1)
-    pidx = order[gidx]
-    voxels = points[pidx] * (
+    voxels = voxels * (
         (seg[None, :] < num_points[:, None]) & voxel_valid[:, None]
     )[..., None].astype(points.dtype)
 
@@ -115,11 +138,14 @@ def voxelize(
         [jnp.where(voxel_valid, c, 0) for c in (ix_v, iy_v, iz_v)], axis=-1
     )
 
-    # Map each original point to its voxel slot (−1 if dropped/overflow slot).
+    # Map each original point to its voxel slot (−1 if dropped/overflow slot):
+    # un-sort the per-point slot by sorting on the carried original index.
     slot_sorted = jnp.where(
         (sorted_ids < big) & (slot_of_sorted < max_voxels), slot_of_sorted, -1
+    ).astype(jnp.int32)
+    _, point_voxel = jax.lax.sort(
+        (orig_idx, slot_sorted), dimension=0, num_keys=1, is_stable=False
     )
-    point_voxel = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted.astype(jnp.int32))
 
     return {
         "voxels": voxels,

@@ -47,7 +47,7 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         )
         for i, a in enumerate(exp.anchors)
     )
-    return VoxelNetConfig(
+    kwargs = dict(
         grid=grid,
         max_voxels=exp.max_voxels,
         max_points_per_voxel=exp.max_points_per_voxel,
@@ -60,8 +60,9 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         rpn_filters=tuple(exp.rpn_filters),
         rpn_up_strides=tuple(exp.rpn_up_strides),
         rpn_up_filters=tuple(exp.rpn_up_filters),
-        **overrides,
     )
+    kwargs.update(overrides)  # experiment-derived fields are overridable too
+    return VoxelNetConfig(**kwargs)
 
 
 def make_second_loss_fn(vcfg: VoxelNetConfig):
