@@ -203,6 +203,11 @@ class SecondExperiment:
     max_points_per_voxel: int = 20
     encoder: str = "pillars"
     middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
+    # Sparse middle sizing (middle == "sparse"): per-stage channel widths
+    # and active-voxel caps of the strided sparse-conv stack
+    # (SpMiddleFHD's downsample chain, second/pytorch/models/middle.py).
+    middle_features: Tuple[int, ...] = (16, 32, 64)
+    middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
     similarity: str = "nearest"  # anchor matching: nearest | rotated
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
     # RPN topology (all.fhd.config rpn block: layer_nums, layer_strides,

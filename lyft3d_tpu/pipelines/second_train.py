@@ -53,6 +53,8 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
         max_points_per_voxel=exp.max_points_per_voxel,
         encoder=exp.encoder,
         middle=exp.middle,
+        middle_features=tuple(exp.middle_features),
+        middle_max_voxels=tuple(exp.middle_max_voxels),
         similarity=exp.similarity,
         anchor_specs=specs,
         rpn_layer_nums=tuple(exp.rpn_layer_nums),

@@ -1,18 +1,26 @@
-"""BEV debug visualization.
+"""BEV + camera debug visualization.
 
 Capability of the reference's debug drawing (``second/second/utils/
 simplevis.py`` point-cloud→BEV image with GT/det boxes; ``bbox_plot.py``)
-and the SDK's render helpers: rasterize points to a grayscale BEV image and
-draw rotated boxes with cv2 polylines.
+and the SDK explorer's render helpers (``lyftdataset.py:606-934``):
+rasterize points to a grayscale BEV image, draw rotated boxes with cv2
+polylines, and project lidar points into camera images
+(``LyftDatasetExplorer.map_pointcloud_to_image`` ``lyftdataset.py:730``).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["points_to_bev_image", "draw_boxes_bev", "bev_debug_image"]
+__all__ = [
+    "points_to_bev_image",
+    "draw_boxes_bev",
+    "bev_debug_image",
+    "map_pointcloud_to_image",
+    "render_pointcloud_in_image",
+]
 
 _CLASS_COLORS = [
     (0, 255, 0), (255, 128, 0), (0, 128, 255), (255, 0, 255), (255, 255, 0),
@@ -63,6 +71,74 @@ def draw_boxes_bev(
         hx, hy = (x + c * l / 2) / resolution + size / 2, (y + s * l / 2) / resolution + size / 2
         cv2.line(image, (int(cx), int(cy)), (int(hx), int(hy)), _CLASS_COLORS[ci], thickness)
     return image
+
+
+def map_pointcloud_to_image(
+    db, pointsensor_token: str, camera_token: str, min_dist: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Project a lidar sweep into a camera image.
+
+    The SDK explorer's ``map_pointcloud_to_image`` (``lyftdataset.py:730``):
+    points go lidar → ego(lidar ts) → global → ego(camera ts) → camera, then
+    through the camera intrinsic; points behind or closer than ``min_dist``
+    or outside the canvas are dropped.
+
+    Returns (points_2d (2, N), depths (N,), image (H, W, 3) uint8).
+    """
+    from PIL import Image
+
+    from lyft3d_tpu.core.geometry import view_points
+    from lyft3d_tpu.data.pointcloud import LidarPointCloud
+
+    pc = LidarPointCloud.from_file(db.get_sample_data_path(pointsensor_token))
+    pts = pc.points[:, :3].T.astype(np.float64)  # (3, N)
+
+    def apply(m, p):
+        return m[:3, :3] @ p + m[:3, 3:4]
+
+    pts = apply(db.sensor_pose_matrix(pointsensor_token), pts)
+    pts = apply(db.ego_pose_matrix(pointsensor_token), pts)
+    pts = apply(db.ego_pose_matrix(camera_token, inverse=True), pts)
+    pts = apply(db.sensor_pose_matrix(camera_token, inverse=True), pts)
+
+    cam_sd = db.get("sample_data", camera_token)
+    cs = db.get("calibrated_sensor", cam_sd["calibrated_sensor_token"])
+    intrinsic = np.asarray(cs["camera_intrinsic"], np.float64)
+
+    image = np.asarray(Image.open(db.get_sample_data_path(camera_token)).convert("RGB"))
+    h, w = image.shape[:2]
+
+    depths = pts[2]
+    uv = view_points(pts, intrinsic, normalize=True)[:2]
+    ok = (
+        (depths > min_dist)
+        & (uv[0] > 1) & (uv[0] < w - 1)
+        & (uv[1] > 1) & (uv[1] < h - 1)
+    )
+    return uv[:, ok], depths[ok], image
+
+
+def render_pointcloud_in_image(
+    db, sample_token: str, camera_channel: str = "CAM_FRONT",
+    pointsensor_channel: str = "LIDAR_TOP", dot_radius: int = 2,
+) -> np.ndarray:
+    """Draw the projected lidar points on the camera image, depth-colored
+    (``LyftDatasetExplorer.render_pointcloud_in_image`` capability).
+    Returns the annotated (H, W, 3) uint8 image."""
+    import cv2
+
+    sample = db.get("sample", sample_token)
+    cam_token = sample["data"][camera_channel]
+    pts_token = sample["data"][pointsensor_channel]
+    uv, depths, image = map_pointcloud_to_image(db, pts_token, cam_token)
+    img = image.copy()  # PIL-backed arrays are readonly
+    if depths.size:
+        lo, hi = float(depths.min()), float(depths.max())
+        t = (depths - lo) / max(hi - lo, 1e-6)
+        for (u, v), ti in zip(uv.T, t):
+            color = (int(255 * (1 - ti)), 64, int(255 * ti))  # near=red → far=blue
+            cv2.circle(img, (int(u), int(v)), dot_radius, color, -1)
+    return img
 
 
 def bev_debug_image(points, gt_boxes=None, det_boxes=None, extent=80.0,

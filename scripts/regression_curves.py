@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""mAP-vs-steps regression curves for the e2e learning demos.
+
+Runs the BEV and SECOND demos at several training lengths and records the
+final official-metric mAP for each, as a learning-progress regression
+artifact (ROADMAP validation plan). Writes docs/curves.json.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+STEPS = [60, 150, 300]
+
+
+def run_demo(script: str, steps: int, out: Path) -> dict:
+    cmd = [sys.executable, str(REPO / "scripts" / script),
+           "--steps", str(steps), "--out", str(out)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"{script} --steps {steps} produced no JSON line\n{proc.stdout[-2000:]}"
+        f"\n{proc.stderr[-2000:]}"
+    )
+
+
+def main():
+    work = Path("/tmp/lyft3d_curves")
+    curves = {}
+    for script, key in [
+        ("demo_bev_e2e.py", "bev_unet"),
+        ("demo_second_e2e.py", "second_voxelnet"),
+    ]:
+        curves[key] = []
+        for steps in STEPS:
+            r = run_demo(script, steps, work / f"{key}_{steps}")
+            point = {"steps": steps, "mAP": r.get("mAP"), "wall_s": r.get("wall_s")}
+            print(f"{key} @ {steps} steps: mAP={point['mAP']}", flush=True)
+            curves[key].append(point)
+    out = REPO / "docs" / "curves.json"
+    out.write_text(json.dumps(curves, indent=2))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,24 @@ class TestBEVTrainDriver:
         assert len(sec.anchors) == 9
         assert sec.db_sampler_quota["animal"] == 4
 
+    def test_sparse_config_builds_reference_anchor_grid(self):
+        from lyft3d_tpu.pipelines.second_train import (
+            voxelnet_config_from_experiment,
+        )
+
+        sec = load_yaml(
+            SecondExperiment, "configs/second_lyft_9class_sparse.yaml"
+        )
+        assert sec.middle == "sparse" and sec.encoder == "simple"
+        vcfg = voxelnet_config_from_experiment(sec)
+        assert vcfg.grid.grid_size == (992, 992, 32)
+        assert vcfg.middle_max_voxels == (49152, 24576, 12288)
+        # ds 8 sparse stack + stride-2 RPN stem → the reference all.fhd's
+        # 62² anchor grid (69k anchors over 9 classes × 2 rotations).
+        assert vcfg.feature_hw == (62, 62)
+        anchors, _, _, _ = vcfg.make_anchors()
+        assert anchors.shape[0] == 62 * 62 * 18
+
 
 class TestSecondTrainDriver:
     def test_few_steps(self, db, tmp_path):

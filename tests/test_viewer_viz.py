@@ -124,3 +124,31 @@ class TestViewerBackend:
                 assert len(b["box"]) == 7 and 0.0 <= b["score"] <= 1.0
         finally:
             server.shutdown()
+
+
+class TestCameraProjection:
+    """Explorer camera paths: map_pointcloud_to_image (lyftdataset.py:730)."""
+
+    def test_project_and_render(self, tmp_path):
+        from lyft3d_tpu.data.lyftdb import LyftDB
+        from lyft3d_tpu.utils.visualize import (
+            map_pointcloud_to_image,
+            render_pointcloud_in_image,
+        )
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1, samples_per_scene=2)
+        db = LyftDB(root, root / "data")
+        sample = db.sample[0]
+        cam_token = sample["data"]["CAM_FRONT"]
+        pts_token = sample["data"]["LIDAR_TOP"]
+        uv, depths, image = map_pointcloud_to_image(db, pts_token, cam_token)
+        assert uv.shape[0] == 2 and uv.shape[1] == depths.shape[0]
+        assert image.ndim == 3 and image.shape[2] == 3
+        # some forward points must land on the canvas, all inside it
+        assert depths.size > 0 and (depths > 1.0).all()
+        assert (uv[0] >= 0).all() and (uv[0] <= image.shape[1]).all()
+        assert (uv[1] >= 0).all() and (uv[1] <= image.shape[0]).all()
+
+        img = render_pointcloud_in_image(db, sample["token"])
+        assert img.shape == image.shape
+        assert (img != image).any()  # dots drawn
