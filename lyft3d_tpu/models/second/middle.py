@@ -90,19 +90,16 @@ class SparseConvLayer(nn.Module):
 
 
 def sparse_to_dense_bev(features, active: ActiveSet):
-    """Scatter (V, C) features at (V, 3) coords → (ny, nx, nz·C) BEV map —
-    the ``.dense()`` + reshape at the end of SpMiddleFHD (middle.py:199-212).
+    """(V, C) features at (V, 3) coords → (ny, nx, nz·C) BEV map — the
+    ``.dense()`` + reshape at the end of SpMiddleFHD (middle.py:199-212).
+    Scatter-free: sort + searchsorted + row gather (ops/dense_fill.py).
     """
+    from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
+
     nx, ny, nz = active.spatial_shape
     c = features.shape[-1]
-    flat = jnp.where(
-        active.valid,
-        (active.coords[:, 2] * ny + active.coords[:, 1]) * nx + active.coords[:, 0],
-        nx * ny * nz,
-    )
-    dense = jnp.zeros((nz * ny * nx, c), features.dtype).at[flat].add(
-        features * active.valid[:, None].astype(features.dtype), mode="drop"
-    )
+    flat = (active.coords[:, 2] * ny + active.coords[:, 1]) * nx + active.coords[:, 0]
+    dense = fill_rows_by_id(features, flat, active.valid, nz * ny * nx)
     return (
         dense.reshape(nz, ny, nx, c).transpose(1, 2, 0, 3).reshape(ny, nx, nz * c)
     )

@@ -1,0 +1,35 @@
+"""fill_rows_by_id == scatter-add for unique ids (the producer contract)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
+
+
+class TestFillRowsById:
+    def test_matches_scatter_unique_ids(self):
+        rng = np.random.RandomState(0)
+        v, c, rows = 64, 5, 200
+        ids = jnp.asarray(rng.choice(rows, v, replace=False).astype(np.int32))
+        feats = jnp.asarray(rng.randn(v, c).astype(np.float32))
+        valid = jnp.asarray(rng.rand(v) < 0.8)
+        ref = jnp.zeros((rows, c)).at[jnp.where(valid, ids, rows)].add(
+            feats * valid[:, None], mode="drop"
+        )
+        out = fill_rows_by_id(feats, ids, valid, rows)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+    def test_unsorted_ids_and_all_invalid(self):
+        feats = jnp.array([[1.0], [2.0], [3.0]])
+        ids = jnp.array([5, 1, 3], jnp.int32)  # unsorted
+        out = fill_rows_by_id(feats, ids, jnp.array([True, True, True]), 8)
+        assert float(out[5, 0]) == 1.0 and float(out[1, 0]) == 2.0
+        assert float(out[3, 0]) == 3.0 and float(jnp.abs(out).sum()) == 6.0
+        none = fill_rows_by_id(feats, ids, jnp.zeros(3, bool), 8)
+        assert float(jnp.abs(none).sum()) == 0.0
+
+    def test_duplicate_ids_pick_one(self):
+        feats = jnp.array([[1.0], [2.0]])
+        ids = jnp.array([4, 4], jnp.int32)
+        out = fill_rows_by_id(feats, ids, jnp.array([True, True]), 8)
+        assert float(out[4, 0]) in (1.0, 2.0)
