@@ -114,10 +114,16 @@ def generate_anchors(
 
 
 def bev_occupancy_mask(coords, voxel_valid, grid_hw: Tuple[int, int]):
-    """(V, 3) voxel coords → (ny, nx) 0/1 occupancy (dense_voxel_map)."""
+    """(V, 3) voxel coords → (ny, nx) 0/1 occupancy (dense_voxel_map).
+    Scatter-free: sort the flat ids, binary-search each canvas cell
+    (ops/dense_fill.py pattern — scatters serialize on TPU)."""
     ny, nx = grid_hw
-    flat = jnp.where(voxel_valid, coords[:, 1] * nx + coords[:, 0], ny * nx)
-    occ = jnp.zeros((ny * nx,), jnp.float32).at[flat].max(1.0, mode="drop")
+    flat = jnp.sort(
+        jnp.where(voxel_valid, coords[:, 1] * nx + coords[:, 0], ny * nx)
+    )
+    q = jnp.arange(ny * nx, dtype=flat.dtype)
+    pos = jnp.minimum(jnp.searchsorted(flat, q), flat.shape[0] - 1)
+    occ = (flat[pos] == q).astype(jnp.float32)
     return occ.reshape(ny, nx)
 
 
