@@ -239,3 +239,37 @@ class TestBoxCoder:
         np.testing.assert_allclose(
             np.mod(out - np.asarray(vals), np.pi), 0.0, atol=1e-5
         )
+
+
+def test_fixpoint_greedy_equals_sequential_greedy():
+    """The while-loop fixpoint NMS must match a literal sequential greedy
+    walk on random score/IoU instances (incl. suppression chains)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lyft3d_tpu.ops.nms import nms_mask_from_iou
+
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        n = 64
+        scores = rng.rand(n)
+        iou = rng.rand(n, n) * 0.9
+        iou = (iou + iou.T) / 2
+        np.fill_diagonal(iou, 1.0)
+        valid = rng.rand(n) < 0.9
+        thr = 0.4
+
+        order = np.argsort(-np.where(valid, scores, -np.inf))
+        suppressed = np.zeros(n, bool)
+        keep = np.zeros(n, bool)
+        for i in order:
+            if not valid[i] or suppressed[i]:
+                continue
+            keep[i] = True
+            suppressed |= iou[i] > thr
+            suppressed[i] = False
+        got = np.asarray(
+            nms_mask_from_iou(jnp.asarray(iou), jnp.asarray(scores), thr,
+                              jnp.asarray(valid))
+        )
+        np.testing.assert_array_equal(got, keep, err_msg=f"trial {trial}")
