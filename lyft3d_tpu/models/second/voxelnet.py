@@ -296,8 +296,10 @@ def voxelnet_predict(preds, anchors, anchor_class, cfg: VoxelNetConfig):
 
         iou = rotated_iou_bev(bev, bev)
         same = top_class[:, None] == top_class[None, :]
+        # top_k output is already descending by score → presorted greedy.
         keep = nms_mask_from_iou(
-            jnp.where(same, iou, 0.0), top_scores, cfg.nms_iou, valid=valid
+            jnp.where(same, iou, 0.0), top_scores, cfg.nms_iou, valid=valid,
+            presorted=True,
         )
     else:
         keep = rotated_nms(bev, top_scores, cfg.nms_iou, valid=valid)

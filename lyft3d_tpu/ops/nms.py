@@ -56,7 +56,7 @@ def _greedy_keep_sorted(iou_s, valid_s, iou_threshold):
     return keep
 
 
-def nms_mask_from_iou(iou, scores, iou_threshold, valid=None):
+def nms_mask_from_iou(iou, scores, iou_threshold, valid=None, presorted=False):
     """Greedy NMS keep-mask given a precomputed (N, N) IoU matrix.
 
     Args:
@@ -64,6 +64,8 @@ def nms_mask_from_iou(iou, scores, iou_threshold, valid=None):
         scores: (N,) detection scores (higher = better).
         iou_threshold: suppress j if IoU(i, j) > threshold for a kept i.
         valid: optional (N,) bool; invalid rows are never kept.
+        presorted: rows are already in descending-score order (e.g. straight
+            out of ``top_k``) — skips the N² matrix permutation.
 
     Returns:
         (N,) bool keep mask in the original order.
@@ -71,6 +73,8 @@ def nms_mask_from_iou(iou, scores, iou_threshold, valid=None):
     n = scores.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
+    if presorted:
+        return _greedy_keep_sorted(iou, valid, iou_threshold)
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
     iou_s = iou[order][:, order]
     keep_sorted = _greedy_keep_sorted(iou_s, valid[order], iou_threshold)
