@@ -92,14 +92,16 @@ class SparseConvLayer(nn.Module):
 def sparse_to_dense_bev(features, active: ActiveSet):
     """(V, C) features at (V, 3) coords → (ny, nx, nz·C) BEV map — the
     ``.dense()`` + reshape at the end of SpMiddleFHD (middle.py:199-212).
-    Scatter-free: sort + searchsorted + row gather (ops/dense_fill.py).
+    Sorted-hint scatter (ops/dense_fill.py); ``downsample_coords`` emits
+    ascending-unique flat ids, so no sort is needed.
     """
     from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
 
     nx, ny, nz = active.spatial_shape
     c = features.shape[-1]
     flat = (active.coords[:, 2] * ny + active.coords[:, 1]) * nx + active.coords[:, 0]
-    dense = fill_rows_by_id(features, flat, active.valid, nz * ny * nx)
+    dense = fill_rows_by_id(features, flat, active.valid, nz * ny * nx,
+                            assume_sorted=True)
     return (
         dense.reshape(nz, ny, nx, c).transpose(1, 2, 0, 3).reshape(ny, nx, nz * c)
     )

@@ -110,14 +110,17 @@ class PillarFeatureNet(nn.Module):
         return jnp.max(x, axis=-2)
 
 
-def pillar_scatter(features, coords, voxel_valid, grid_hw: Tuple[int, int]):
+def pillar_scatter(features, coords, voxel_valid, grid_hw: Tuple[int, int],
+                   assume_sorted: bool = False):
     """(V, C) pillar features → (ny, nx, C) dense BEV canvas
-    (PointPillarsScatter:421). Scatter-free: sort + searchsorted + row
-    gather (ops/dense_fill.py) — scatter-add serializes per update row on
-    TPU and was the measured hot spot of the voxelnet forward."""
+    (PointPillarsScatter:421) via the sorted-hint scatter of
+    ops/dense_fill.py (2× over a plain scatter-add; the hot spot of the
+    voxelnet forward). Pass ``assume_sorted=True`` when coords come from
+    ``voxelize`` (ascending-unique flat ids with nz == 1)."""
     from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
 
     ny, nx = grid_hw
     flat = coords[:, 1] * nx + coords[:, 0]
-    canvas = fill_rows_by_id(features, flat, voxel_valid, ny * nx)
+    canvas = fill_rows_by_id(features, flat, voxel_valid, ny * nx,
+                             assume_sorted=assume_sorted)
     return canvas.reshape(ny, nx, features.shape[-1])

@@ -155,9 +155,13 @@ class VoxelNet(nn.Module):
             )(config=cfg, dtype=self.dtype)
             bev = mid(feats, coords, voxel_valid)
         else:
-            bev = jax.vmap(lambda f, c, vv: pillar_scatter(f, c, vv, (ny, nx)))(
-                feats, coords, voxel_valid
-            )
+            # voxelize emits ascending-unique flat ids (nz == 1 for pillars)
+            # → the no-sort path of the sorted-hint scatter.
+            bev = jax.vmap(
+                lambda f, c, vv: pillar_scatter(
+                    f, c, vv, (ny, nx), assume_sorted=True
+                )
+            )(feats, coords, voxel_valid)
 
         preds = RPN(
             layer_nums=cfg.rpn_layer_nums,

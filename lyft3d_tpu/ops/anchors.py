@@ -115,16 +115,17 @@ def generate_anchors(
 
 def bev_occupancy_mask(coords, voxel_valid, grid_hw: Tuple[int, int]):
     """(V, 3) voxel coords → (ny, nx) 0/1 occupancy (dense_voxel_map).
-    Scatter-free: sort the flat ids, binary-search each canvas cell
-    (ops/dense_fill.py pattern — scatters serialize on TPU)."""
+    Sorted-hint scatter (see ops/dense_fill.py measurements — the sorted
+    hint halves TPU scatter cost; per-canvas-row searchsorted is 16×
+    worse)."""
     ny, nx = grid_hw
     flat = jnp.sort(
         jnp.where(voxel_valid, coords[:, 1] * nx + coords[:, 0], ny * nx)
     )
-    q = jnp.arange(ny * nx, dtype=flat.dtype)
-    pos = jnp.minimum(jnp.searchsorted(flat, q), flat.shape[0] - 1)
-    occ = (flat[pos] == q).astype(jnp.float32)
-    return occ.reshape(ny, nx)
+    occ = jnp.zeros((ny * nx + 1,), jnp.float32).at[flat].set(
+        1.0, unique_indices=False, indices_are_sorted=True
+    )
+    return occ[: ny * nx].reshape(ny, nx)
 
 
 def anchors_area_mask(
