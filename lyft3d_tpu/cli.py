@@ -245,6 +245,40 @@ def cmd_import_weights(args):
     print(f"imported {args.backbone} weights → {path}")
 
 
+def cmd_run_experiments(args):
+    """Sequential experiment queue over BEV config files — capability of
+    the reference's batch experiment driver (``second/second/pytorch/
+    script_server.py:29-226``: run a list of (config, model_dir) jobs,
+    survive per-job failures, record outcomes)."""
+    import json
+    import time
+    import traceback
+
+    from lyft3d_tpu.config import BEVExperiment, apply_overrides, load_yaml
+    from lyft3d_tpu.pipelines.bev_train import train_bev
+
+    results = []
+    for cfg_path in args.configs:
+        cfg = load_yaml(BEVExperiment, cfg_path)
+        if args.set:
+            cfg = apply_overrides(cfg, args.set)
+        t0 = time.time()
+        rec = {"config": str(cfg_path), "model_dir": cfg.model_dir}
+        try:
+            state, _ = train_bev(cfg, args.bev_dir)
+            rec.update(status="ok", steps=int(state.step))
+        except Exception as e:  # keep the queue going (script_server:198)
+            traceback.print_exc()
+            rec.update(status="failed", error=f"{type(e).__name__}: {e}")
+        rec["wall_s"] = round(time.time() - t0, 1)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    if args.summary:
+        with open(args.summary, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"summary → {args.summary}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lyft3d_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -325,6 +359,14 @@ def build_parser() -> argparse.ArgumentParser:
     add_db_args(sp)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export_kitti)
+
+    sp = sub.add_parser("run-experiments")
+    sp.add_argument("--bev-dir", required=True)
+    sp.add_argument("--configs", nargs="+", required=True)
+    sp.add_argument("--set", nargs="*", default=None,
+                    help="overrides applied to every config")
+    sp.add_argument("--summary", default=None, help="summary JSON path")
+    sp.set_defaults(fn=cmd_run_experiments)
 
     sp = sub.add_parser("import-weights")
     sp.add_argument("--torch-ckpt", required=True)

@@ -22,24 +22,30 @@ the hot callers take the presorted path with no extra sort.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill_rows_by_id"]
+__all__ = ["fill_rows_by_id", "fill_rows_by_id_pallas"]
 
 
 def fill_rows_by_id(features, row_ids, valid, num_rows: int,
-                    assume_sorted: bool = False):
+                    assume_sorted: bool = False, method: str = "auto"):
     """(V, C) feature rows + (V,) ``row_ids`` → (num_rows, C) canvas.
 
     Rows not covered by a valid id are zero; invalid entries are dropped.
-    Duplicate ids resolve to one winner (undefined which), not a sum —
-    the producers emit unique ids, so this is tie-breaking only.
+    Duplicate ids sum on the pallas path (scatter-add semantics) and
+    resolve to one winner on the scatter path — the producers emit unique
+    ids, so this is tie-breaking only.
 
     Args:
-        assume_sorted: valid ``row_ids`` are ascending and unique (the
-            ``voxelize`` / ``downsample_coords`` contract) — skips the
-            internal sort.
+        assume_sorted: valid ``row_ids`` are ascending (the ``voxelize`` /
+            ``downsample_coords`` contract) — skips the internal sort.
+        method: "auto" (pallas kernel on TPU, hinted scatter elsewhere),
+            "pallas", or "scatter".
     """
     v = features.shape[0]
     ids = jnp.where(valid, row_ids.astype(jnp.int32), num_rows)
@@ -47,8 +53,92 @@ def fill_rows_by_id(features, row_ids, valid, num_rows: int,
     if not assume_sorted:
         ids, src = jax.lax.sort((ids, jnp.arange(v, dtype=jnp.int32)), num_keys=1)
         feats = feats[src]
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "scatter"
+    if method == "pallas":
+        ones = jnp.ones((v,), bool)  # ids already masked/sorted above
+        return fill_rows_by_id_pallas(feats, ids, ones, num_rows)
     canvas = jnp.zeros((num_rows + 1, features.shape[1]), features.dtype)
     canvas = canvas.at[ids].set(
         feats, mode="drop", unique_indices=True, indices_are_sorted=True
     )
     return canvas[:num_rows]
+
+
+def _fill_kernel(starts_ref, ids_ref, feats_ref, out_ref, ids_v, f_v, sems):
+    """One canvas row-tile: DMA the voxel slice covering this tile, build
+    the tile-local one-hot in VMEM, contract on the MXU."""
+    t = pl.program_id(0)
+    tile = out_ref.shape[0]
+    lo = starts_ref[t]
+
+    d0 = pltpu.make_async_copy(ids_ref.at[pl.ds(lo, tile), :], ids_v, sems.at[0])
+    d1 = pltpu.make_async_copy(feats_ref.at[pl.ds(lo, tile), :], f_v, sems.at[1])
+    d0.start()
+    d1.start()
+    d0.wait()
+    d1.wait()
+
+    local = ids_v[:, 0] - t * tile  # (tile,) voxel slot → tile-local row
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    onehot = (rows == local[None, :]).astype(f_v.dtype)  # [row, slot]
+    out_ref[:] = jnp.dot(
+        onehot, f_v[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_rows", "tile", "interpret"))
+def fill_rows_by_id_pallas(features, row_ids, valid, num_rows: int,
+                           tile: int = 1024, interpret: bool = False):
+    """Pallas canvas fill: (V, C) rows + ASCENDING ``row_ids`` →
+    (num_rows, C).
+
+    The XLA sorted-hint scatter (above) runs at row-granular speed
+    (~19 ms for 25k → 496²×64 at batch 8); here each grid step owns one
+    ``tile``-row canvas block, binary-search tile starts are scalar-
+    prefetched, the voxel slice [starts[t], starts[t]+tile) is DMA'd to
+    VMEM, and the block is produced by a (tile × tile) one-hot matmul on
+    the MXU — the one-hot never exists in HBM. Duplicate ids SUM (exactly
+    the reference scatter-add semantics). Requires ascending ids with
+    invalid entries forced past ``num_rows`` (the ``voxelize`` /
+    ``downsample_coords`` contract).
+    """
+    v, c = features.shape
+    feats = features * valid[:, None].astype(features.dtype)
+    ids = jnp.where(valid, row_ids.astype(jnp.int32), num_rows)
+    n_tiles = -(-num_rows // tile)
+    # Tile t covers rows [t·tile, (t+1)·tile): its voxels start at the
+    # first id ≥ t·tile (ids ascending). n_tiles+1 queries — searchsorted
+    # is only pathological at canvas-row query counts.
+    starts = jnp.searchsorted(
+        ids, jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    ).astype(jnp.int32)
+    # Pad so every DMA slice [lo, lo+tile) is in bounds; sentinel ids
+    # never match a tile-local row.
+    ids_p = jnp.concatenate(
+        [ids, jnp.full((tile,), jnp.int32(2**30))]
+    ).reshape(-1, 1)
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((tile, c), feats.dtype)], axis=0
+    )
+
+    out = pl.pallas_call(
+        _fill_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((tile, c), lambda t, starts: (t, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((tile, 1), jnp.int32),
+                pltpu.VMEM((tile, c), feats.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c), feats.dtype),
+        interpret=interpret,
+    )(starts, ids_p, feats_p)
+    return out[:num_rows]

@@ -47,3 +47,33 @@ class TestCLI:
         main(["eval-map", "--data-root", str(data_root), "--submission", str(sub)])
         out = capsys.readouterr().out
         assert '"mAP"' in out
+
+
+class TestRunExperiments:
+    """Batch experiment queue (script_server.py capability)."""
+
+    def test_queue_survives_failures(self, data_root, tmp_path, capsys):
+        import yaml
+
+        bev = tmp_path / "bev"
+        main(["generate-bev", "--data-root", str(data_root), "--out", str(bev)])
+
+        good = tmp_path / "good.yaml"
+        good.write_text(yaml.safe_dump({
+            "model": "unet_reference",
+            "batch_size": 1,
+            "model_dir": str(tmp_path / "run_good"),
+            "optimizer": {"total_steps": 2},
+        }))
+        bad = tmp_path / "bad.yaml"
+        bad.write_text(yaml.safe_dump({
+            "model": "no_such_model",
+            "model_dir": str(tmp_path / "run_bad"),
+        }))
+        summary = tmp_path / "summary.json"
+        main(["run-experiments", "--bev-dir", str(bev),
+              "--configs", str(bad), str(good), "--summary", str(summary)])
+        recs = json.loads(summary.read_text())
+        assert [r["status"] for r in recs] == ["failed", "ok"]
+        assert recs[1]["steps"] == 2
+        assert (tmp_path / "run_good" / "checkpoints.json").exists()

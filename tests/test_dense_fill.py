@@ -33,3 +33,26 @@ class TestFillRowsById:
         ids = jnp.array([4, 4], jnp.int32)
         out = fill_rows_by_id(feats, ids, jnp.array([True, True]), 8)
         assert float(out[4, 0]) in (1.0, 2.0)
+
+    def test_pallas_kernel_matches_scatter(self):
+        """Interpret-mode pallas fill == scatter fill (integer features for
+        exactness; sorted-unique ids per the producer contract)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.dense_fill import (
+            fill_rows_by_id,
+            fill_rows_by_id_pallas,
+        )
+
+        rng = np.random.RandomState(1)
+        for rows, tile in [(1000, 256), (1024, 256)]:
+            v, c = 300, 8
+            ids = np.sort(rng.choice(rows, v, replace=False)).astype(np.int32)
+            feats = jnp.asarray(rng.randint(-50, 50, (v, c)).astype(np.float32))
+            valid = jnp.asarray(rng.rand(v) < 0.9)
+            ref = fill_rows_by_id(feats, jnp.asarray(ids), valid, rows,
+                                  assume_sorted=True, method="scatter")
+            out = fill_rows_by_id_pallas(feats, jnp.asarray(ids), valid, rows,
+                                         tile=tile, interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
