@@ -273,3 +273,23 @@ def test_fixpoint_greedy_equals_sequential_greedy():
                               jnp.asarray(valid))
         )
         np.testing.assert_array_equal(got, keep, err_msg=f"trial {trial}")
+
+
+def test_fixpoint_greedy_alternating_chain():
+    """Descending-score chain where each box overlaps only its neighbor:
+    greedy keeps every other box — the worst case for fixpoint depth."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lyft3d_tpu.ops.nms import nms_mask_from_iou
+
+    n = 40
+    iou = np.eye(n)
+    for i in range(n - 1):
+        iou[i, i + 1] = iou[i + 1, i] = 0.9
+    scores = np.linspace(1.0, 0.5, n)
+    got = np.asarray(
+        nms_mask_from_iou(jnp.asarray(iou), jnp.asarray(scores), 0.5)
+    )
+    expect = np.array([i % 2 == 0 for i in range(n)])
+    np.testing.assert_array_equal(got, expect)
