@@ -174,7 +174,9 @@ def cmd_train_pointrcnn(args):
     from lyft3d_tpu.pipelines.pointrcnn_train import (
         KittiLoaderConfig,
         KittiPointRCNNLoader,
+        cache_rcnn_samples,
         train_pointrcnn_rpn,
+        train_rcnn_offline,
     )
 
     loader = KittiPointRCNNLoader(
@@ -187,6 +189,14 @@ def cmd_train_pointrcnn(args):
         loader, cfg, steps=args.steps, batch_size=args.batch_size
     )
     print(f"final rpn loss: {losses[-1]:.4f}")
+    if args.mode == "rcnn_offline":
+        # Staged training (train_rcnn.py:177-190): freeze the RPN, cache
+        # its proposals + features, train the RCNN head offline.
+        cache = cache_rcnn_samples(model, params, loader, cfg)
+        _, _, rcnn_losses = train_rcnn_offline(
+            cache, cfg, steps=args.rcnn_steps
+        )
+        print(f"final rcnn loss: {rcnn_losses[-1]:.4f}")
 
 
 def cmd_serve(args):
@@ -344,6 +354,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--classes", default="car")
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--batch-size", type=int, default=2)
+    sp.add_argument("--mode", choices=("rpn", "rcnn_offline"), default="rpn")
+    sp.add_argument("--rcnn-steps", type=int, default=100)
     sp.set_defaults(fn=cmd_train_pointrcnn)
 
     sp = sub.add_parser("serve")

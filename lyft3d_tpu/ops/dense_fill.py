@@ -65,80 +65,67 @@ def fill_rows_by_id(features, row_ids, valid, num_rows: int,
     return canvas[:num_rows]
 
 
-def _fill_kernel(starts_ref, ids_ref, feats_ref, out_ref, ids_v, f_v, sems):
-    """One canvas row-tile: DMA the voxel slice covering this tile, build
-    the tile-local one-hot in VMEM, contract on the MXU."""
-    t = pl.program_id(0)
+def _fill_kernel(local_ref, feats_ref, out_ref):
+    """One canvas row-tile: build the tile-local one-hot in VMEM and
+    contract it with the tile's voxel-feature window on the MXU."""
     tile = out_ref.shape[0]
-    lo = starts_ref[t]
-
-    d0 = pltpu.make_async_copy(ids_ref.at[pl.ds(lo, tile), :], ids_v, sems.at[0])
-    d1 = pltpu.make_async_copy(feats_ref.at[pl.ds(lo, tile), :], f_v, sems.at[1])
-    d0.start()
-    d1.start()
-    d0.wait()
-    d1.wait()
-
-    local = ids_v[:, 0] - t * tile  # (tile,) voxel slot → tile-local row
+    local = local_ref[0, :]  # (tile,) voxel slot → tile-local row (or OOB)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    onehot = (rows == local[None, :]).astype(f_v.dtype)  # [row, slot]
+    onehot = (rows == local[None, :]).astype(feats_ref.dtype)  # [row, slot]
     out_ref[:] = jnp.dot(
-        onehot, f_v[:], preferred_element_type=jnp.float32
+        onehot, feats_ref[0], preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_rows", "tile", "interpret"))
 def fill_rows_by_id_pallas(features, row_ids, valid, num_rows: int,
-                           tile: int = 1024, interpret: bool = False):
+                           tile: int = 512, interpret: bool = False):
     """Pallas canvas fill: (V, C) rows + ASCENDING ``row_ids`` →
     (num_rows, C).
 
     The XLA sorted-hint scatter (above) runs at row-granular speed
-    (~19 ms for 25k → 496²×64 at batch 8); here each grid step owns one
-    ``tile``-row canvas block, binary-search tile starts are scalar-
-    prefetched, the voxel slice [starts[t], starts[t]+tile) is DMA'd to
-    VMEM, and the block is produced by a (tile × tile) one-hot matmul on
-    the MXU — the one-hot never exists in HBM. Duplicate ids SUM (exactly
-    the reference scatter-add semantics). Requires ascending ids with
-    invalid entries forced past ``num_rows`` (the ``voxelize`` /
-    ``downsample_coords`` contract).
+    (~19 ms for 25k → 496²×64 at batch 8). Here each grid step owns one
+    ``tile``-row canvas block; its covering voxel window
+    [starts[t], starts[t] + tile) — starts from one small searchsorted,
+    windows pre-gathered by vmapped ``dynamic_slice`` (contiguous reads) —
+    arrives as an aligned VMEM block, and the block output is one
+    (tile × tile) one-hot matmul on the MXU. The one-hot never exists in
+    HBM. Duplicate ids SUM (the reference scatter-add semantics). Requires
+    ascending ids with invalid entries forced past ``num_rows`` (the
+    ``voxelize`` / ``downsample_coords`` contract).
     """
     v, c = features.shape
     feats = features * valid[:, None].astype(features.dtype)
     ids = jnp.where(valid, row_ids.astype(jnp.int32), num_rows)
     n_tiles = -(-num_rows // tile)
     # Tile t covers rows [t·tile, (t+1)·tile): its voxels start at the
-    # first id ≥ t·tile (ids ascending). n_tiles+1 queries — searchsorted
+    # first id ≥ t·tile (ids ascending). n_tiles queries — searchsorted
     # is only pathological at canvas-row query counts.
     starts = jnp.searchsorted(
         ids, jnp.arange(n_tiles, dtype=jnp.int32) * tile
     ).astype(jnp.int32)
-    # Pad so every DMA slice [lo, lo+tile) is in bounds; sentinel ids
+    # Per-tile windows; padding keeps every slice in bounds, sentinel ids
     # never match a tile-local row.
-    ids_p = jnp.concatenate(
-        [ids, jnp.full((tile,), jnp.int32(2**30))]
-    ).reshape(-1, 1)
+    ids_p = jnp.concatenate([ids, jnp.full((tile,), jnp.int32(2**30))])
     feats_p = jnp.concatenate(
         [feats, jnp.zeros((tile, c), feats.dtype)], axis=0
     )
+    local = jax.vmap(
+        lambda s, t: jax.lax.dynamic_slice(ids_p, (s,), (tile,)) - t * tile
+    )(starts, jnp.arange(n_tiles, dtype=jnp.int32))  # (n_tiles, tile)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(feats_p, (s, 0), (tile, c))
+    )(starts)  # (n_tiles, tile, c)
 
     out = pl.pallas_call(
         _fill_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((tile, c), lambda t, starts: (t, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((tile, 1), jnp.int32),
-                pltpu.VMEM((tile, c), feats.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda t: (t, 0)),
+            pl.BlockSpec((1, tile, c), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c), feats.dtype),
         interpret=interpret,
-    )(starts, ids_p, feats_p)
+    )(local, windows)
     return out[:num_rows]
