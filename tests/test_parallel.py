@@ -92,3 +92,48 @@ class TestDistanceBucketNMS:
         # 7 near slots, 3 far slots.
         assert (dist < 25).sum() == 7
         assert (dist >= 25).sum() == 3
+
+
+class TestDataParallelStep:
+    def test_dp_gradients_match_single_device(self):
+        """An 8-way DP step must produce the same params as single-device
+        (the all-reduce mean == full-batch gradient)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from lyft3d_tpu.parallel.mesh import (
+            make_mesh,
+            make_train_step_dp,
+            replicate,
+            shard_batch,
+        )
+
+        w0 = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+        rng = np.random.RandomState(0)
+        batch = {
+            "x": rng.randn(16, 4).astype(np.float32),
+            "y": rng.randn(16, 3).astype(np.float32),
+        }
+
+        def loss_fn(p, b):
+            pred = b["x"] @ p["w"] + p["b"]
+            return jnp.mean((pred - b["y"]) ** 2)
+
+        tx = optax.sgd(0.1)
+
+        # single device
+        loss, grads = jax.value_and_grad(loss_fn)(w0, batch)
+        upd, _ = tx.update(grads, tx.init(w0), w0)
+        ref = optax.apply_updates(w0, upd)
+
+        mesh = make_mesh(8)
+        step = make_train_step_dp(loss_fn, tx, mesh)
+        params = replicate(mesh, w0)
+        opt_state = replicate(mesh, tx.init(w0))
+        got, _, dp_loss = step(params, opt_state, shard_batch(mesh, batch))
+
+        np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(ref["w"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(dp_loss), float(loss), rtol=1e-5)
