@@ -128,7 +128,9 @@ def bev_rasterize_matmul(
         r, cc, o = args
         return acc + _onehot_chunk_counts(r, cc, o, h, w * c), None
 
-    acc0 = jnp.zeros((h, w * c), jnp.float32)
+    # The zero carry must inherit the inputs' varying-manual-axes type or
+    # scan rejects the carry under shard_map (point-sharded raster path).
+    acc0 = jnp.zeros((h, w * c), jnp.float32) + 0.0 * row[0].astype(jnp.float32)
     acc, _ = jax.lax.scan(
         body,
         acc0,

@@ -101,3 +101,36 @@ def make_train_step_dp(loss_fn, tx, mesh: Mesh):
         in_shardings=(rep_sh, rep_sh, batch_sh),
         out_shardings=(rep_sh, rep_sh, rep_sh),
     )
+
+
+def bev_rasterize_point_sharded(mesh: Mesh, points, valid, **raster_kw):
+    """Point-parallel BEV rasterization: shard the point dimension over the
+    ``data`` axis, rasterize each shard locally, ``psum`` the count grids.
+
+    The scale axis the reference bounds with subsampling (SURVEY §5
+    long-context note: 10-sweep aggregation grows clouds to ~0.7M points)
+    instead sharded over ICI — counts are additive, so the per-shard
+    raster + all-reduce is exact.
+
+    Args:
+        points: (N, 3+) point cloud, N divisible by the data-axis size.
+        valid: (N,) bool.
+    Returns: (H, W, C) float32 counts, replicated.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from lyft3d_tpu.ops.bev_raster import bev_rasterize_matmul
+
+    def local(p, v):
+        counts = bev_rasterize_matmul(p, v, **raster_kw)
+        return jax.lax.psum(counts, "data")
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P(),
+    )
+    return fn(points, valid)
