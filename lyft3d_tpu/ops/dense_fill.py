@@ -69,7 +69,10 @@ def _fill_kernel(local_ref, feats_ref, out_ref):
     """One canvas row-tile: build the tile-local one-hot in VMEM and
     contract it with the tile's voxel-feature window on the MXU."""
     tile = out_ref.shape[0]
-    local = local_ref[0, :]  # (tile,) voxel slot → tile-local row (or OOB)
+    t = pl.program_id(0)
+    # local ids ride along as one full VMEM-resident (n_tiles, tile) array
+    # (a (1, tile) block violates the 8-sublane block constraint).
+    local = local_ref[t, :]  # (tile,) voxel slot → tile-local row (or OOB)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     onehot = (rows == local[None, :]).astype(feats_ref.dtype)  # [row, slot]
     out_ref[:] = jnp.dot(
@@ -121,7 +124,7 @@ def fill_rows_by_id_pallas(features, row_ids, valid, num_rows: int,
         _fill_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda t: (t, 0)),
+            pl.BlockSpec((n_tiles, tile), lambda t: (0, 0)),
             pl.BlockSpec((1, tile, c), lambda t: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, c), lambda t: (t, 0)),
