@@ -71,29 +71,86 @@ def lookup(sorted_ids, perm, big, query_coords, query_ok, spatial_shape):
     return jnp.where(hit, perm[pos_c], -1)
 
 
+def lookup_batch(sorted_ids, big, q_ids, q_ok):
+    """Sorted-order row indices for (K, Q) query flat-ids (−1 if absent).
+
+    One batched two-operand merge-sort replaces K ``searchsorted`` passes —
+    searchsorted is pathological on TPU at these query counts (measured
+    313 ms/step for the Lyft-scale sparse middle; see ops/dense_fill.py for
+    the searchsorted measurements). Packing ``id·2 + tag`` makes every
+    hitting query sort DIRECTLY after its key (ids unique on both sides),
+    so hits are adjacency checks and the key's rank (its sorted row) is a
+    running cumsum — no random access. A second batched sort on the carried
+    query slot un-permutes the result.
+
+    Returns rank into the SORTED id order; callers whose features are in
+    sorted-id order (the ``downsample_coords``/``voxelize`` contract) use
+    it directly.
+    """
+    k, q = q_ids.shape
+    v = sorted_ids.shape[0]
+    keys = jnp.broadcast_to((sorted_ids * 2)[None, :], (k, v))
+    queries = jnp.where(q_ok, q_ids * 2 + 1, big * 2 + 1)
+    merged = jnp.concatenate([keys, queries], axis=1)
+    slot = jnp.concatenate(
+        [
+            jnp.full((k, v), q, jnp.int32),  # key rows sink in the unsort
+            jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[None, :], (k, q)),
+        ],
+        axis=1,
+    )
+    skey, sslot = jax.lax.sort((merged, slot), dimension=1, num_keys=1)
+    is_key = (skey % 2) == 0
+    rank = jnp.cumsum(is_key.astype(jnp.int32), axis=1) - 1
+    prev_key = jnp.roll(is_key, 1, axis=1)
+    prev_id = jnp.roll(skey, 1, axis=1) >> 1
+    # prev_id < big also rejects the invalid-key/invalid-query pile at the
+    # top of the order (both sides pad with id == big).
+    hit = (~is_key) & prev_key & (prev_id == (skey >> 1)) & (prev_id < big)
+    hit = hit.at[:, 0].set(False)
+    res = jnp.where(hit, rank, -1)
+    # Un-permute: queries carry their slot; key rows (slot == q) sink last.
+    _, out = jax.lax.sort((sslot, res), dimension=1, num_keys=1)
+    return out[:, :q]
+
+
 def kernel_offsets(kernel_size: int = 3, ndim: int = 3):
     """(K, 3) integer offsets centered at 0 (e.g. 27 for 3³)."""
     r = range(-(kernel_size // 2), kernel_size // 2 + 1)
     return jnp.asarray(list(itertools.product(r, r, r)), jnp.int32)
 
 
+def _flat_query_ids(q_coords, q_ok, spatial_shape):
+    """(K, Q, 3) coords → (K, Q) flat ids with OOB/invalid forced to big."""
+    nx, ny, nz = spatial_shape
+    inb = (
+        q_ok
+        & (q_coords[..., 0] >= 0) & (q_coords[..., 0] < nx)
+        & (q_coords[..., 1] >= 0) & (q_coords[..., 1] < ny)
+        & (q_coords[..., 2] >= 0) & (q_coords[..., 2] < nz)
+    )
+    ids = (q_coords[..., 2] * ny + q_coords[..., 1]) * nx + q_coords[..., 0]
+    big = jnp.int32(nx * ny * nz)
+    return jnp.where(inb, ids, big), inb
+
+
 def subm_conv3d_gather(features, active: ActiveSet, hash_, offsets):
     """Gather neighbor features for a submanifold conv.
 
-    Returns (K, V, C) with zeros where the neighbor is absent, plus the
-    gather mask. Multiply with (K, C, C') weights via einsum for the conv.
+    Returns (K, V, C) with zeros where the neighbor is absent. Multiply
+    with (K, C, C') weights via einsum for the conv. All K offsets resolve
+    in ONE batched merge-sort (``lookup_batch``) instead of per-offset
+    binary searches.
     """
     sorted_ids, perm, big = hash_
     v = active.coords.shape[0]
-
-    def per_offset(off):
-        q = active.coords + off[None, :]
-        idx = lookup(sorted_ids, perm, big, q, active.valid, active.spatial_shape)
-        ok = idx >= 0
-        f = features[jnp.clip(idx, 0, v - 1)] * ok[:, None].astype(features.dtype)
-        return f
-
-    return jax.vmap(per_offset)(offsets)  # (K, V, C)
+    q = active.coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
+    qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
+    rank = lookup_batch(sorted_ids, big, qids, qids < big)  # (K, V)
+    ok = rank >= 0
+    f_sorted = features[perm]  # one V-row gather into sorted-id order
+    f = f_sorted[jnp.clip(rank, 0, v - 1)] * ok[..., None].astype(features.dtype)
+    return f  # (K, V, C)
 
 
 def downsample_coords(
@@ -172,10 +229,15 @@ def sparse_conv3d_gather(
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(padding, jnp.int32)
 
-    def per_offset(off):
-        q = out_active.coords * s[None, :] + off[None, :] - p[None, :]
-        idx = lookup(sorted_ids, perm, big, q, out_active.valid, in_active.spatial_shape)
-        ok = idx >= 0
-        return features[jnp.clip(idx, 0, v - 1)] * ok[:, None].astype(features.dtype)
-
-    return jax.vmap(per_offset)(kk)
+    q = (
+        out_active.coords[None, :, :] * s[None, None, :]
+        + kk[:, None, :]
+        - p[None, None, :]
+    )  # (K, V_out, 3)
+    qids, _ = _flat_query_ids(
+        q, out_active.valid[None, :], in_active.spatial_shape
+    )
+    rank = lookup_batch(sorted_ids, big, qids, qids < big)
+    ok = rank >= 0
+    f_sorted = features[perm]
+    return f_sorted[jnp.clip(rank, 0, v - 1)] * ok[..., None].astype(features.dtype)
