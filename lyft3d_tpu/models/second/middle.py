@@ -33,7 +33,9 @@ class SubMConvLayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, features, active: ActiveSet, hash_):
+    def __call__(self, features, active: ActiveSet, hash_, neighbors=None):
+        from lyft3d_tpu.ops.sparse_conv import gather_by_rank
+
         k = self.kernel_size ** 3
         cin = features.shape[-1]
         w = self.param(
@@ -42,9 +44,18 @@ class SubMConvLayer(nn.Module):
             (k, cin, self.features),
             jnp.float32,
         ).astype(self.dtype)
-        gathered = subm_conv3d_gather(
-            features, active, hash_, kernel_offsets(self.kernel_size)
-        )  # (K, V, C)
+        if neighbors is not None:
+            # Precomputed per-stage match slots (both subm layers share
+            # them); neighbor tensor via the dense-fill expand.
+            from lyft3d_tpu.ops.sparse_conv import neighbors_from_slots
+
+            gathered = neighbors_from_slots(
+                features, hash_[1], neighbors, features.shape[0]
+            )
+        else:
+            gathered = subm_conv3d_gather(
+                features, active, hash_, kernel_offsets(self.kernel_size)
+            )  # (K, V, C)
         out = jnp.einsum(
             "kvc,kcd->vd", gathered.astype(self.dtype), w,
             preferred_element_type=jnp.float32,
@@ -123,11 +134,18 @@ class SparseMiddle(nn.Module):
 
     @nn.compact
     def __call__(self, features, active: ActiveSet):
+        from lyft3d_tpu.ops.sparse_conv import subm_match
+
         x = features.astype(self.dtype)
         for f, mo, st in zip(self.stage_features, self.stage_max_voxels, self.strides):
             hash_ = build_hash(active)
+            # One stencil match per stage, shared by every subm layer on
+            # this active set.
+            neighbors = subm_match(active, hash_, kernel_offsets(3))
             for _ in range(self.subm_per_stage):
-                x = SubMConvLayer(f, dtype=self.dtype)(x, active, hash_)
+                x = SubMConvLayer(f, dtype=self.dtype)(
+                    x, active, hash_, neighbors=neighbors
+                )
             x, active = SparseConvLayer(
                 f, max_out=mo, stride=st, dtype=self.dtype
             )(x, active)

@@ -114,6 +114,46 @@ def lookup_batch(sorted_ids, big, q_ids, q_ok):
     return out[:, :q]
 
 
+def match_slots(sorted_ids, big, q_ids, q_ok):
+    """Dense (K, V) map: for each key RANK, the matching query slot (or
+    ``V_q`` if unmatched) — the transpose of ``lookup_batch``, same two
+    batched sorts.
+
+    Every hitting query sorts directly after its key (packed id·2 + tag),
+    so a key's match is an elementwise next-element check; compacting key
+    elements by rank (each rank occurs exactly once) densifies the map.
+    Both the ranks and the matched slots are ascending — exactly the
+    monotone (source, target) contract of ``ops.dense_fill``, which turns
+    the per-offset neighbor gather into the fast canvas-fill kernel.
+    """
+    k, q = q_ids.shape
+    v = sorted_ids.shape[0]
+    keys = jnp.broadcast_to((sorted_ids * 2)[None, :], (k, v))
+    queries = jnp.where(q_ok, q_ids * 2 + 1, big * 2 + 1)
+    merged = jnp.concatenate([keys, queries], axis=1)
+    slot = jnp.concatenate(
+        [
+            jnp.full((k, v), q, jnp.int32),
+            jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[None, :], (k, q)),
+        ],
+        axis=1,
+    )
+    skey, sslot = jax.lax.sort((merged, slot), dimension=1, num_keys=1)
+    is_key = (skey % 2) == 0
+    rank = jnp.cumsum(is_key.astype(jnp.int32), axis=1) - 1
+    nxt_id = jnp.roll(skey, -1, axis=1) >> 1
+    nxt_is_query = ~jnp.roll(is_key, -1, axis=1)
+    nxt_slot = jnp.roll(sslot, -1, axis=1)
+    my_id = skey >> 1
+    matched = is_key & nxt_is_query & (nxt_id == my_id) & (my_id < big)
+    matched = matched.at[:, -1].set(False)
+    match_slot = jnp.where(matched, nxt_slot, q)
+    # Compact key elements by rank: ranks 0..V-1 each occur exactly once.
+    sort_key = jnp.where(is_key, rank, merged.shape[1])
+    _, dense = jax.lax.sort((sort_key, match_slot), dimension=1, num_keys=1)
+    return dense[:, :v]  # (K, V) ascending query slots (q = no match)
+
+
 def kernel_offsets(kernel_size: int = 3, ndim: int = 3):
     """(K, 3) integer offsets centered at 0 (e.g. 27 for 3³)."""
     r = range(-(kernel_size // 2), kernel_size // 2 + 1)
@@ -134,23 +174,82 @@ def _flat_query_ids(q_coords, q_ok, spatial_shape):
     return jnp.where(inb, ids, big), inb
 
 
-def subm_conv3d_gather(features, active: ActiveSet, hash_, offsets):
-    """Gather neighbor features for a submanifold conv.
+# Offset-resolution strategy: "merge" = one batched packed merge-sort for
+# all K offsets; "searchsorted" = per-offset binary search. Both are
+# measured options (sparse-middle A/B at Lyft scale); overridable for
+# benchmarking via this module global.
+LOOKUP_METHOD = "merge"
 
-    Returns (K, V, C) with zeros where the neighbor is absent. Multiply
-    with (K, C, C') weights via einsum for the conv. All K offsets resolve
-    in ONE batched merge-sort (``lookup_batch``) instead of per-offset
-    binary searches.
-    """
+
+def resolve_ids(sorted_ids, big, qids, method=None):
+    """(K, Q) query flat-ids → (K, Q) sorted-order ranks (−1 absent)."""
+    method = method or LOOKUP_METHOD
+    if method == "merge":
+        return lookup_batch(sorted_ids, big, qids, qids < big)
+    v = sorted_ids.shape[0]
+
+    def per_row(q):
+        pos = jnp.searchsorted(sorted_ids, q).astype(jnp.int32)
+        pos_c = jnp.clip(pos, 0, v - 1)
+        hit = (sorted_ids[pos_c] == q) & (q < big)
+        return jnp.where(hit, pos_c, -1)
+
+    return jax.vmap(per_row)(qids)
+
+
+def subm_neighbors(active: ActiveSet, hash_, offsets, method=None):
+    """(K, V) sorted-order neighbor ranks for a submanifold stencil —
+    computed ONCE per active set and shared by every subm conv on it
+    (both subm layers of a SpMiddleFHD stage use the same stencil)."""
     sorted_ids, perm, big = hash_
-    v = active.coords.shape[0]
     q = active.coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
     qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
-    rank = lookup_batch(sorted_ids, big, qids, qids < big)  # (K, V)
+    return resolve_ids(sorted_ids, big, qids, method)
+
+
+def subm_match(active: ActiveSet, hash_, offsets):
+    """(K, V) ascending matched-query slots for a submanifold stencil
+    (``match_slots`` semantics) — the fill-formulation counterpart of
+    ``subm_neighbors``, computed once per stage."""
+    sorted_ids, perm, big = hash_
+    q = active.coords[None, :, :] + offsets[:, None, :]
+    qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
+    return match_slots(sorted_ids, big, qids, qids < big)
+
+
+def neighbors_from_slots(features, perm, slots, num_slots: int):
+    """(V, C) features + (K, V) ascending matched slots → (K, Q, C)
+    neighbor tensor, via the dense-fill kernel per offset (monotone
+    source→target expand — no row-granular random access; see
+    ops/dense_fill.py measurements)."""
+    from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
+
+    f_sorted = features[perm]
+    return jax.vmap(
+        lambda s: fill_rows_by_id(
+            f_sorted, s, s < num_slots, num_slots, assume_sorted=True
+        )
+    )(slots)
+
+
+def gather_by_rank(features, perm, rank):
+    """(V, C) features + (K, V) sorted-order ranks → (K, V, C) neighbors
+    (zeros where absent)."""
+    v = features.shape[0]
     ok = rank >= 0
     f_sorted = features[perm]  # one V-row gather into sorted-id order
-    f = f_sorted[jnp.clip(rank, 0, v - 1)] * ok[..., None].astype(features.dtype)
-    return f  # (K, V, C)
+    return f_sorted[jnp.clip(rank, 0, v - 1)] * ok[..., None].astype(
+        features.dtype
+    )
+
+
+def subm_conv3d_gather(features, active: ActiveSet, hash_, offsets):
+    """Gather neighbor features for a submanifold conv: (K, V, C) with
+    zeros where the neighbor is absent. Multiply with (K, C, C') weights
+    via einsum for the conv."""
+    sorted_ids, perm, big = hash_
+    rank = subm_neighbors(active, hash_, offsets)
+    return gather_by_rank(features, perm, rank)
 
 
 def downsample_coords(
@@ -174,17 +273,28 @@ def downsample_coords(
     onx, ony, onz = out_shape
     obig = jnp.int32(onx * ony * onz)
 
-    kk = kernel_offsets(kernel_size)  # centered offsets; convert to [0, k)
-    kk = kk + kernel_size // 2  # (K, 3) in [0, k)
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(padding, jnp.int32)
 
-    def per_offset(off):
-        num = active.coords + p[None, :] - off[None, :]
-        div_ok = jnp.all(num % s[None, :] == 0, axis=1)
-        o = num // s[None, :]
+    # Output sites receiving input i along one dim: o·s ≤ i+p ≤ o·s+k−1,
+    # i.e. o ∈ [ceil((i+p−k+1)/s), floor((i+p)/s)] — at most ceil(k/s)
+    # per dim (2 for k=3,s=2: 8 candidates/input, not kernel_size³=27).
+    spans = tuple(-(-kernel_size // st) for st in stride)
+    num = active.coords + p[None, :]
+    o_hi = num // s[None, :]
+    o_lo = -((-(num - (kernel_size - 1))) // s[None, :])  # ceil division
+
+    import itertools as _it
+
+    combos = jnp.asarray(
+        list(_it.product(*(range(sp) for sp in spans))), jnp.int32
+    )  # (P, 3)
+
+    def per_combo(j):
+        o = o_lo + j[None, :]
         ok = (
-            active.valid & div_ok
+            active.valid
+            & jnp.all(o <= o_hi, axis=1)
             & (o[:, 0] >= 0) & (o[:, 0] < onx)
             & (o[:, 1] >= 0) & (o[:, 1] < ony)
             & (o[:, 2] >= 0) & (o[:, 2] < onz)
@@ -192,15 +302,14 @@ def downsample_coords(
         ids = (o[:, 2] * ony + o[:, 1]) * onx + o[:, 0]
         return jnp.where(ok, ids, obig)
 
-    cand = jax.vmap(per_offset)(kk).reshape(-1)  # (K·V,)
+    cand = jax.vmap(per_combo)(combos).reshape(-1)  # (P·V,)
     cand = jnp.sort(cand)
     is_head = jnp.concatenate([jnp.ones((1,), bool), cand[1:] != cand[:-1]]) & (
         cand < obig
     )
-    rank = jnp.cumsum(is_head) - 1
-    out_ids = jnp.full((max_out + 1,), obig, jnp.int32).at[
-        jnp.where(is_head, rank, max_out)
-    ].min(cand, mode="drop")[:max_out]
+    # Compact heads by one more sort (the previous rank-indexed scatter was
+    # row-granular over P·V updates).
+    out_ids = jax.lax.sort(jnp.where(is_head, cand, obig))[:max_out]
     out_valid = out_ids < obig
 
     oz = out_ids // (ony * onx)
@@ -237,7 +346,5 @@ def sparse_conv3d_gather(
     qids, _ = _flat_query_ids(
         q, out_active.valid[None, :], in_active.spatial_shape
     )
-    rank = lookup_batch(sorted_ids, big, qids, qids < big)
-    ok = rank >= 0
-    f_sorted = features[perm]
-    return f_sorted[jnp.clip(rank, 0, v - 1)] * ok[..., None].astype(features.dtype)
+    slots = match_slots(sorted_ids, big, qids, qids < big)
+    return neighbors_from_slots(features, perm, slots, qids.shape[1])

@@ -73,7 +73,7 @@ class TestBEVTrainDriver:
         assert sec.middle == "sparse" and sec.encoder == "simple"
         vcfg = voxelnet_config_from_experiment(sec)
         assert vcfg.grid.grid_size == (992, 992, 32)
-        assert vcfg.middle_max_voxels == (49152, 24576, 12288)
+        assert vcfg.middle_max_voxels == (24576, 8192, 4096)
         # ds 8 sparse stack + stride-2 RPN stem → the reference all.fhd's
         # 62² anchor grid (69k anchors over 9 classes × 2 rotations).
         assert vcfg.feature_hw == (62, 62)
