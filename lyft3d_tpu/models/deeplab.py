@@ -51,8 +51,10 @@ class DeepLabV3Plus(nn.Module):
         d = jnp.concatenate([a, low], axis=-1)
         d = ConvNormAct(self.aspp_features, dtype=self.dtype)(d)
         d = ConvNormAct(self.aspp_features, dtype=self.dtype)(d)
-        d = resize_to(d, in_hw)
+        # 1x1 conv commutes with bilinear resize — logits at /4 then
+        # upsample n_classes channels (exact, far less resize traffic).
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(d)
+        logits = resize_to(logits, in_hw)
         return logits, aux
 
 
@@ -75,8 +77,8 @@ class EfficientNetUNet(nn.Module):
         d = feats[3]
         for f, skip in zip(self.decoder_features, (feats[2], feats[1], feats[0], None)):
             d = UpBlock(f, dtype=self.dtype)(d, skip)
-        d = resize_to(d, in_hw)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(d)
+        logits = resize_to(logits, in_hw)
         return logits, aux
 
 

@@ -109,8 +109,12 @@ class LyftUNet(nn.Module):
             [resize_to(o, d.shape[1:3]) for o in decoder_outs], axis=-1
         )
         h = ConvNormAct(self.decoder_features, dtype=self.dtype)(hyper)
-        h = resize_to(h, in_hw)
+        # 1x1 conv commutes with bilinear resize (both linear, channel
+        # mixing is pointwise): produce logits at /2 and upsample 10
+        # channels instead of 64 — exact same function, 6x less resize
+        # traffic (full forward 8.58 -> 7.71 ms at batch 8).
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(h)
+        logits = resize_to(logits, in_hw)
         return logits, aux
 
 
