@@ -6,16 +6,19 @@ TPU-native replacement for spconv's ``SubMConv3d`` / ``SparseConv3d`` /
 hardest port in the reference (SURVEY.md §7 hard-parts #1).
 
 Formulation: an active set is (coords (V, 3) int32, valid (V,), features
-(V, C)) over a static spatial shape. Neighbor resolution is a binary search
-into the sorted flat voxel ids (one sort per active set, reused across every
-kernel offset and every submanifold layer sharing the set). The conv itself
-is a single contraction::
+(V, C)) over a static spatial shape. Neighbor resolution for ALL K kernel
+offsets is one batched packed merge-sort (``match_slots``): hits are
+adjacency checks in the merged id order and yield a MONOTONE key→query
+map, so the neighbor gather is the dense-fill expand kernel
+(``ops.dense_fill``) — no per-offset binary searches (searchsorted is
+pathological on TPU at these counts, measured 16× slower end-to-end) and
+no row-granular random gathers. The conv itself is a single contraction::
 
     out[v] = Σ_k gathered[k, v] @ W[k]     →  einsum('kvc,kcd->vd')
 
-— K·V·C·C' MACs of pure MXU work; the only non-matmul cost is K searchsorted
-passes and gathers. Strided convs additionally derive their output active
-set via candidate generation + sort-unique (capped at ``max_out``).
+— K·V·C·C' MACs of pure MXU work. Strided convs derive their output active
+set via per-dim output-window candidates (≤ ceil(k/s)³ per input, not k³)
++ sort-unique (capped at ``max_out``).
 
 No Python loops over voxels; everything jits with static shapes.
 """
@@ -29,8 +32,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["ActiveSet", "build_hash", "lookup", "subm_conv3d_gather",
-           "downsample_coords", "sparse_conv3d_gather", "kernel_offsets"]
+__all__ = ["ActiveSet", "build_hash", "lookup", "lookup_batch", "match_slots",
+           "subm_match", "subm_neighbors", "neighbors_from_slots",
+           "gather_by_rank", "subm_conv3d_gather", "downsample_coords",
+           "sparse_conv3d_gather", "kernel_offsets"]
 
 
 class ActiveSet(struct.PyTreeNode):
