@@ -81,7 +81,7 @@ def _fill_kernel(local_ref, feats_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_rows", "tile", "interpret"))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fill_rows_by_id_pallas(features, row_ids, valid, num_rows: int,
                            tile: int = 1024, interpret: bool = False):
     """Pallas canvas fill: (V, C) rows + ASCENDING ``row_ids`` →
@@ -133,3 +133,22 @@ def fill_rows_by_id_pallas(features, row_ids, valid, num_rows: int,
         interpret=interpret,
     )(local, windows)
     return out[:num_rows]
+
+
+def _fill_pallas_fwd(features, row_ids, valid, num_rows, tile, interpret):
+    out = fill_rows_by_id_pallas(features, row_ids, valid, num_rows, tile,
+                                 interpret)
+    return out, (row_ids, valid)
+
+
+def _fill_pallas_bwd(num_rows, tile, interpret, res, g):
+    # out[row_ids[i]] += features[i]  ⇒  d features[i] = g[row_ids[i]]
+    # (a V-row gather — the training path through the pillar scatter).
+    row_ids, valid = res
+    ids = jnp.clip(jnp.where(valid, row_ids.astype(jnp.int32), 0), 0,
+                   num_rows - 1)
+    gf = g[ids] * valid[:, None].astype(g.dtype)
+    return (gf, None, None)
+
+
+fill_rows_by_id_pallas.defvjp(_fill_pallas_fwd, _fill_pallas_bwd)

@@ -56,3 +56,36 @@ class TestFillRowsById:
             out = fill_rows_by_id_pallas(feats, jnp.asarray(ids), valid, rows,
                                          tile=tile, interpret=True)
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_pallas_fill_gradient(self):
+        """custom-vjp gradient == scatter-path autodiff gradient (training
+        through the pillar scatter)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.dense_fill import (
+            fill_rows_by_id,
+            fill_rows_by_id_pallas,
+        )
+
+        rng = np.random.RandomState(2)
+        v, c, rows = 100, 4, 300
+        ids = np.sort(rng.choice(rows, v, replace=False)).astype(np.int32)
+        feats = jnp.asarray(rng.randn(v, c).astype(np.float32))
+        valid = jnp.asarray(rng.rand(v) < 0.85)
+        w = jnp.asarray(rng.randn(rows, c).astype(np.float32))
+
+        def loss_pallas(f):
+            out = fill_rows_by_id_pallas(f, jnp.asarray(ids), valid, rows,
+                                         tile=128, interpret=True)
+            return jnp.sum(out * w)
+
+        def loss_scatter(f):
+            out = fill_rows_by_id(f, jnp.asarray(ids), valid, rows,
+                                  assume_sorted=True, method="scatter")
+            return jnp.sum(out * w)
+
+        gp = jax.grad(loss_pallas)(feats)
+        gs = jax.grad(loss_scatter)(feats)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), rtol=1e-5)
