@@ -38,9 +38,13 @@ def main():
     ]:
         curves[key] = []
         for steps in STEPS:
-            r = run_demo(script, steps, work / f"{key}_{steps}")
-            point = {"steps": steps, "mAP": r.get("mAP"), "wall_s": r.get("wall_s")}
-            print(f"{key} @ {steps} steps: mAP={point['mAP']}", flush=True)
+            try:
+                r = run_demo(script, steps, work / f"{key}_{steps}")
+                point = {"steps": steps, "mAP": r.get("mAP"),
+                         "wall_s": r.get("wall_s")}
+            except Exception as e:  # record and keep the sweep going
+                point = {"steps": steps, "error": f"{type(e).__name__}: {e}"[:500]}
+            print(f"{key} @ {steps} steps: {point}", flush=True)
             curves[key].append(point)
     out = REPO / "docs" / "curves.json"
     out.write_text(json.dumps(curves, indent=2))
