@@ -86,7 +86,9 @@ def lookup_batch(sorted_ids, big, q_ids, q_ok):
     hitting query sort DIRECTLY after its key (ids unique on both sides),
     so hits are adjacency checks and the key's rank (its sorted row) is a
     running cumsum — no random access. A second batched sort on the carried
-    query slot un-permutes the result.
+    query slot un-permutes the result. PRECONDITION: valid query ids are
+    unique within each row (true for stencil queries — distinct coords);
+    a duplicated valid query would resolve for only one copy.
 
     Returns rank into the SORTED id order; callers whose features are in
     sorted-id order (the ``downsample_coords``/``voxelize`` contract) use

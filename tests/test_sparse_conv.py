@@ -203,3 +203,78 @@ class TestMiddle:
         assert bev.shape == (2, 2, 16)
         assert out_active.spatial_shape == (2, 2, 1)
         assert np.isfinite(np.asarray(bev)).all()
+
+
+class TestLookupMachinery:
+    """lookup_batch / match_slots edge cases (packed merge-sort paths)."""
+
+    def test_lookup_batch_matches_naive(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import lookup_batch
+
+        rng = np.random.RandomState(0)
+        big = 1000
+        v, k, q = 40, 5, 30
+        sorted_ids = np.sort(rng.choice(big, v, replace=False)).astype(np.int32)
+        # unique per row (the producer contract: queries are distinct coords)
+        qids = np.stack([
+            rng.choice(big, q, replace=False) for _ in range(k)
+        ]).astype(np.int32)
+        qids[0, :10] = sorted_ids[:10]
+        qids[0] = np.concatenate([qids[0][:10], np.setdiff1d(qids[0][10:], sorted_ids[:10])[: q - 10]])
+        ok = rng.rand(k, q) < 0.9
+        got = np.asarray(lookup_batch(jnp.asarray(sorted_ids), jnp.int32(big),
+                                      jnp.asarray(qids), jnp.asarray(ok)))
+        for i in range(k):
+            for j in range(q):
+                if ok[i, j] and qids[i, j] in sorted_ids:
+                    assert got[i, j] == int(np.searchsorted(sorted_ids, qids[i, j]))
+                else:
+                    assert got[i, j] == -1
+
+    def test_match_slots_is_lookup_transpose(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import lookup_batch, match_slots
+
+        rng = np.random.RandomState(1)
+        big = 500
+        v, k, q = 25, 4, 25
+        sorted_ids = np.sort(rng.choice(big, v, replace=False)).astype(np.int32)
+        qids = np.stack([
+            np.sort(rng.choice(big, q, replace=False)) for _ in range(k)
+        ]).astype(np.int32)
+        ok = np.ones((k, q), bool)
+        ranks = np.asarray(lookup_batch(jnp.asarray(sorted_ids), jnp.int32(big),
+                                        jnp.asarray(qids), jnp.asarray(ok)))
+        slots = np.asarray(match_slots(jnp.asarray(sorted_ids), jnp.int32(big),
+                                       jnp.asarray(qids), jnp.asarray(ok)))
+        for i in range(k):
+            # transpose relation: ranks[i, s] == r  ⟺  slots[i, r] == s
+            for s in range(q):
+                r = ranks[i, s]
+                if r >= 0:
+                    assert slots[i, r] == s
+            for r in range(v):
+                s = slots[i, r]
+                if s < q:
+                    assert ranks[i, s] == r
+            # unmatched keys carry the sentinel
+            assert ((slots[i] == q) | (slots[i] < q)).all()
+
+    def test_empty_and_all_invalid(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import lookup_batch, match_slots
+
+        sorted_ids = jnp.asarray(np.array([700, 700, 700], np.int32))  # all pad
+        qids = jnp.asarray(np.array([[1, 2, 700]], np.int32))
+        ok = jnp.asarray(np.array([[True, True, False]]))
+        got = np.asarray(lookup_batch(sorted_ids, jnp.int32(700), qids, ok))
+        assert (got == -1).all()
+        slots = np.asarray(match_slots(sorted_ids, jnp.int32(700), qids, ok))
+        assert (slots == 3).all()
