@@ -201,6 +201,11 @@ class SecondExperiment:
     voxel_size: Tuple[float, float, float] = (0.25, 0.25, 8.0)
     max_voxels: int = 20000
     max_points_per_voxel: int = 20
+    # Height-based ground removal (all.fhd.config:10-13 block_filtering).
+    block_filtering: bool = False
+    block_factor: int = 1
+    block_size: int = 8
+    height_threshold: float = 0.2
     encoder: str = "pillars"
     middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
     # Sparse middle sizing (middle == "sparse"): per-stage channel widths

@@ -74,8 +74,12 @@ class PackedGroupedConv(nn.Module):
             jnp.float32,
         )
         # Groups per supergroup: enough to fill the 128 lanes (all of them
-        # if the conv is narrower than 128).
+        # if the conv is narrower than 128), rounded down to a divisor of g
+        # so the (…, fgc, sg, …) reshape is valid for non-power-of-two
+        # group counts (e.g. in=400, g=10 → sg 3→2).
         sg = max(min(_LANE_WIDTH // cing, g), 1)
+        while g % sg:
+            sg -= 1
         fgc = g // sg
         k6 = kernel.astype(self.dtype).reshape(kh, kw, cing, fgc, sg, outg)
         eye = jnp.eye(sg, dtype=self.dtype)

@@ -45,13 +45,9 @@ class SubMConvLayer(nn.Module):
             jnp.float32,
         ).astype(self.dtype)
         if neighbors is not None:
-            # Precomputed per-stage match slots (both subm layers share
-            # them); neighbor tensor via the dense-fill expand.
-            from lyft3d_tpu.ops.sparse_conv import neighbors_from_slots
-
-            gathered = neighbors_from_slots(
-                features, hash_[1], neighbors, features.shape[0]
-            )
+            # Precomputed per-stage sorted-order neighbor ranks — both subm
+            # layers of a stage share them (one merge-sort per stage).
+            gathered = gather_by_rank(features, hash_[1], neighbors)
         else:
             gathered = subm_conv3d_gather(
                 features, active, hash_, kernel_offsets(self.kernel_size)
@@ -134,14 +130,14 @@ class SparseMiddle(nn.Module):
 
     @nn.compact
     def __call__(self, features, active: ActiveSet):
-        from lyft3d_tpu.ops.sparse_conv import subm_match
+        from lyft3d_tpu.ops.sparse_conv import subm_neighbors
 
         x = features.astype(self.dtype)
         for f, mo, st in zip(self.stage_features, self.stage_max_voxels, self.strides):
             hash_ = build_hash(active)
             # One stencil match per stage, shared by every subm layer on
             # this active set.
-            neighbors = subm_match(active, hash_, kernel_offsets(3))
+            neighbors = subm_neighbors(active, hash_, kernel_offsets(3))
             for _ in range(self.subm_per_stage):
                 x = SubMConvLayer(f, dtype=self.dtype)(
                     x, active, hash_, neighbors=neighbors

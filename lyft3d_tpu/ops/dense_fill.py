@@ -39,13 +39,15 @@ def fill_rows_by_id(features, row_ids, valid, num_rows: int,
     """(V, C) feature rows + (V,) ``row_ids`` → (num_rows, C) canvas.
 
     Rows not covered by a valid id are zero; invalid entries are dropped.
-    Duplicate ids sum on the pallas path (scatter-add semantics) and
-    resolve to one winner on the scatter path — the producers emit unique
-    ids, so this is tie-breaking only.
+    Valid ids must be unique (the producer contract); with
+    ``assume_sorted`` they must also be GLOBALLY non-decreasing with the
+    invalid entries at the tail — partial stencil matchings (interspersed
+    sentinels) violate this and must go through ``gather_by_rank`` instead.
 
     Args:
-        assume_sorted: valid ``row_ids`` are ascending (the ``voxelize`` /
-            ``downsample_coords`` contract) — skips the internal sort.
+        assume_sorted: valid ``row_ids`` are ascending and invalid entries
+            trail (the ``voxelize`` / ``downsample_coords`` contract) —
+            skips the internal sort.
         method: "auto" (pallas kernel on TPU, hinted scatter elsewhere),
             "pallas", or "scatter".
     """
@@ -61,9 +63,10 @@ def fill_rows_by_id(features, row_ids, valid, num_rows: int,
         ones = jnp.ones((v,), bool)  # ids already masked/sorted above
         return fill_rows_by_id_pallas(feats, ids, ones, num_rows)
     canvas = jnp.zeros((num_rows + 1, features.shape[1]), features.dtype)
-    canvas = canvas.at[ids].set(
-        feats, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    # All invalid entries share the sentinel row ``num_rows`` (in bounds),
+    # so the indices are NOT unique — claiming unique_indices here would be
+    # XLA-undefined; only the sorted hint is true.
+    canvas = canvas.at[ids].set(feats, mode="drop", indices_are_sorted=True)
     return canvas[:num_rows]
 
 

@@ -7,12 +7,14 @@ hardest port in the reference (SURVEY.md §7 hard-parts #1).
 
 Formulation: an active set is (coords (V, 3) int32, valid (V,), features
 (V, C)) over a static spatial shape. Neighbor resolution for ALL K kernel
-offsets is one batched packed merge-sort (``match_slots``): hits are
-adjacency checks in the merged id order and yield a MONOTONE key→query
-map, so the neighbor gather is the dense-fill expand kernel
-(``ops.dense_fill``) — no per-offset binary searches (searchsorted is
-pathological on TPU at these counts, measured 16× slower end-to-end) and
-no row-granular random gathers. The conv itself is a single contraction::
+offsets is one batched packed merge-sort (``lookup_batch``): hits are
+adjacency checks in the merged id order — no per-offset binary searches
+(searchsorted is pathological on TPU at these counts, measured 16× slower
+end-to-end). The neighbor tensor is then a rank gather (``gather_by_rank``;
+the dense-fill canvas kernel is NOT usable here — a stencil's key→query
+matching is partial, so its monotone map intersperses unmatched sentinels
+and any fixed fill window can overflow). The conv itself is a single
+contraction::
 
     out[v] = Σ_k gathered[k, v] @ W[k]     →  einsum('kvc,kcd->vd')
 
@@ -33,9 +35,8 @@ import jax.numpy as jnp
 from flax import struct
 
 __all__ = ["ActiveSet", "build_hash", "lookup", "lookup_batch", "match_slots",
-           "subm_match", "subm_neighbors", "neighbors_from_slots",
-           "gather_by_rank", "subm_conv3d_gather", "downsample_coords",
-           "sparse_conv3d_gather", "kernel_offsets"]
+           "subm_neighbors", "gather_by_rank", "subm_conv3d_gather",
+           "downsample_coords", "sparse_conv3d_gather", "kernel_offsets"]
 
 
 class ActiveSet(struct.PyTreeNode):
@@ -47,6 +48,11 @@ class ActiveSet(struct.PyTreeNode):
 
 def _flat_ids(coords, valid, spatial_shape):
     nx, ny, nz = spatial_shape
+    # The packed id·2+1 trick in lookup_batch/match_slots needs 2·big+1 to
+    # fit int32; fail loudly (trace-time) instead of silently mis-matching.
+    assert nx * ny * nz < 2**30, (
+        f"spatial volume {nx}x{ny}x{nz} overflows packed int32 ids"
+    )
     big = jnp.int32(nx * ny * nz)
     ids = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
     return jnp.where(valid, ids, big), big
@@ -129,9 +135,11 @@ def match_slots(sorted_ids, big, q_ids, q_ok):
     Every hitting query sorts directly after its key (packed id·2 + tag),
     so a key's match is an elementwise next-element check; compacting key
     elements by rank (each rank occurs exactly once) densifies the map.
-    Both the ranks and the matched slots are ascending — exactly the
-    monotone (source, target) contract of ``ops.dense_fill``, which turns
-    the per-offset neighbor gather into the fast canvas-fill kernel.
+    NOTE: the matched slots are ascending AMONG THEMSELVES, but the
+    unmatched sentinel ``V_q`` is interspersed at every unmatched rank, so
+    the output is NOT globally sorted — it must not be fed to
+    ``ops.dense_fill``'s ``assume_sorted`` path (its binary-search tiling
+    requires globally non-decreasing ids).
     """
     k, q = q_ids.shape
     v = sorted_ids.shape[0]
@@ -177,6 +185,9 @@ def _flat_query_ids(q_coords, q_ok, spatial_shape):
         & (q_coords[..., 2] >= 0) & (q_coords[..., 2] < nz)
     )
     ids = (q_coords[..., 2] * ny + q_coords[..., 1]) * nx + q_coords[..., 0]
+    assert nx * ny * nz < 2**30, (
+        f"spatial volume {nx}x{ny}x{nz} overflows packed int32 ids"
+    )
     big = jnp.int32(nx * ny * nz)
     return jnp.where(inb, ids, big), inb
 
@@ -212,31 +223,6 @@ def subm_neighbors(active: ActiveSet, hash_, offsets, method=None):
     q = active.coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
     qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
     return resolve_ids(sorted_ids, big, qids, method)
-
-
-def subm_match(active: ActiveSet, hash_, offsets):
-    """(K, V) ascending matched-query slots for a submanifold stencil
-    (``match_slots`` semantics) — the fill-formulation counterpart of
-    ``subm_neighbors``, computed once per stage."""
-    sorted_ids, perm, big = hash_
-    q = active.coords[None, :, :] + offsets[:, None, :]
-    qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
-    return match_slots(sorted_ids, big, qids, qids < big)
-
-
-def neighbors_from_slots(features, perm, slots, num_slots: int):
-    """(V, C) features + (K, V) ascending matched slots → (K, Q, C)
-    neighbor tensor, via the dense-fill kernel per offset (monotone
-    source→target expand — no row-granular random access; see
-    ops/dense_fill.py measurements)."""
-    from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
-
-    f_sorted = features[perm]
-    return jax.vmap(
-        lambda s: fill_rows_by_id(
-            f_sorted, s, s < num_slots, num_slots, assume_sorted=True
-        )
-    )(slots)
 
 
 def gather_by_rank(features, perm, rank):
@@ -353,5 +339,5 @@ def sparse_conv3d_gather(
     qids, _ = _flat_query_ids(
         q, out_active.valid[None, :], in_active.spatial_shape
     )
-    slots = match_slots(sorted_ids, big, qids, qids < big)
-    return neighbors_from_slots(features, perm, slots, qids.shape[1])
+    rank = resolve_ids(sorted_ids, big, qids)
+    return gather_by_rank(features, perm, rank)

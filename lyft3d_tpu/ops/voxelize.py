@@ -26,14 +26,23 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["VoxelGrid", "voxelize"]
+__all__ = ["VoxelGrid", "voxelize", "block_filter_mask"]
 
 
 class VoxelGrid(NamedTuple):
-    """Static voxelization spec (from config; voxel_generator proto)."""
+    """Static voxelization spec (from config; voxel_generator proto —
+    including the block-filtering knobs of ``all.fhd.config:10-13`` /
+    ``second/builder/voxel_builder.py:23-32``)."""
 
     point_cloud_range: Tuple[float, float, float, float, float, float]
     voxel_size: Tuple[float, float, float]
+    # Height-based ground removal: BEV blocks of voxel_size·block_factor·
+    # block_size metres estimate the local ground as their lowest point;
+    # points closer than height_threshold to it are dropped.
+    block_filtering: bool = False
+    block_factor: int = 1
+    block_size: int = 8
+    height_threshold: float = 0.2
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -42,6 +51,30 @@ class VoxelGrid(NamedTuple):
         return tuple(
             int(round((r[3 + i] - r[i]) / self.voxel_size[i])) for i in range(3)
         )
+
+
+def block_filter_mask(points, valid, grid: VoxelGrid):
+    """Ground-removal mask: True for points ≥ ``height_threshold`` above
+    their BEV block's lowest point (the reference's voxel block_filtering,
+    ``all.fhd.config:10-13`` "locations with height < height_threshold will
+    be removed"). Blocks are (voxel·block_factor·block_size)² columns; the
+    per-block min-z is one scatter-min over the coarse block grid.
+    """
+    r = grid.point_cloud_range
+    bw = (
+        grid.voxel_size[0] * grid.block_factor * grid.block_size,
+        grid.voxel_size[1] * grid.block_factor * grid.block_size,
+    )
+    nbx = max(int(round((r[3] - r[0]) / bw[0])), 1)
+    nby = max(int(round((r[4] - r[1]) / bw[1])), 1)
+    bx = jnp.clip(jnp.floor((points[:, 0] - r[0]) / bw[0]).astype(jnp.int32), 0, nbx - 1)
+    by = jnp.clip(jnp.floor((points[:, 1] - r[1]) / bw[1]).astype(jnp.int32), 0, nby - 1)
+    bid = by * nbx + bx
+    z = points[:, 2]
+    zmin = jnp.full((nbx * nby,), jnp.inf, points.dtype).at[
+        jnp.where(valid, bid, 0)
+    ].min(jnp.where(valid, z, jnp.inf))
+    return valid & (z >= zmin[bid] + grid.height_threshold)
 
 
 def voxelize(
@@ -65,6 +98,9 @@ def voxelize(
     nx, ny, nz = grid.grid_size
     r = grid.point_cloud_range
     vs = grid.voxel_size
+
+    if grid.block_filtering:
+        valid = block_filter_mask(points, valid, grid)
 
     ix = jnp.floor((points[:, 0] - r[0]) / vs[0]).astype(jnp.int32)
     iy = jnp.floor((points[:, 1] - r[1]) / vs[1]).astype(jnp.int32)

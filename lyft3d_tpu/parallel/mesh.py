@@ -16,8 +16,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "make_data_mesh", "shard_batch", "replicate",
-           "data_parallel_sharding", "tensor_parallel_params"]
+__all__ = ["ensure_devices", "make_mesh", "make_data_mesh", "shard_batch",
+           "replicate", "data_parallel_sharding", "tensor_parallel_params"]
+
+
+def ensure_devices(n: int) -> int:
+    """Guarantee ≥ ``n`` JAX devices, forcing a virtual CPU platform if the
+    host exposes fewer (e.g. the single-chip TPU tunnel). Safe to call
+    whether or not a backend is already initialized — if one is, it is torn
+    down first (same recipe as tests/conftest.py, which must run before any
+    backend init; this helper also handles the post-init case the driver's
+    dryrun hits). Returns the resulting device count.
+    """
+    if len(jax.devices()) >= n:
+        return len(jax.devices())
+    import jax.extend.backend as jeb
+
+    jeb.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", max(n, 1))
+    count = len(jax.devices())
+    assert count >= n, (count, n)
+    return count
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:

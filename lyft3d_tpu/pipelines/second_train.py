@@ -36,6 +36,10 @@ def voxelnet_config_from_experiment(exp: SecondExperiment, **overrides) -> Voxel
     grid = VoxelGrid(
         point_cloud_range=tuple(exp.point_cloud_range),
         voxel_size=tuple(exp.voxel_size),
+        block_filtering=exp.block_filtering,
+        block_factor=exp.block_factor,
+        block_size=exp.block_size,
+        height_threshold=exp.height_threshold,
     )
     specs = tuple(
         AnchorSpec(

@@ -115,6 +115,27 @@ class TestPackedGroupedConv:
         np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_p),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_non_power_of_two_groups(self):
+        """Supergroup count must divide g (ADVICE r1: in=400, g=10 →
+        cing=40, naive sg=3 breaks the reshape; rounded down to 2)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.models.layers import ConvNormAct
+
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 400), jnp.float32)
+        grouped = ConvNormAct(400, groups=10, norm=False, act=False,
+                              pack_groups="never", dtype=jnp.float32)
+        packed = ConvNormAct(400, groups=10, norm=False, act=False,
+                             pack_groups="always", dtype=jnp.float32)
+        pg = grouped.init(jax.random.PRNGKey(2), x)
+        packed.init(jax.random.PRNGKey(2), x)  # must not raise
+        np.testing.assert_allclose(
+            np.asarray(grouped.apply(pg, x)), np.asarray(packed.apply(pg, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_gradients_flow_and_strides_dilation(self):
         import jax
         import jax.numpy as jnp

@@ -96,6 +96,38 @@ class TestSubMConv:
                 np.asarray(out[i]), np.asarray(ref[x, y, z]), rtol=1e-4, atol=1e-4
             )
 
+    def test_precomputed_neighbors_match_gather_path(self):
+        """The per-stage shared-neighbor path (subm_neighbors ranks +
+        gather_by_rank) must equal the direct subm_conv3d_gather path —
+        regression for the round-1 fill-formulation bug where interspersed
+        unmatched sentinels silently zeroed neighbor rows (ADVICE r1 high:
+        a stencil's partial matching is NOT globally sorted, so it must
+        never take the dense-fill assume_sorted path)."""
+        from lyft3d_tpu.ops.sparse_conv import gather_by_rank, subm_neighbors
+
+        rng = np.random.RandomState(9)
+        # Sparse occupancy → most stencil queries miss (the advisor's
+        # interspersed-unmatched regime).
+        active = make_active(12, 4, seed=10)
+        feats = jnp.array(
+            rng.randn(16, 5).astype(np.float32)
+            * np.asarray(active.valid)[:, None]
+        )
+        hash_ = build_hash(active)
+        offsets = kernel_offsets(3)
+        direct = subm_conv3d_gather(feats, active, hash_, offsets)
+        ranks = subm_neighbors(active, hash_, offsets)
+        shared = gather_by_rank(feats, hash_[1], ranks)
+        np.testing.assert_allclose(np.asarray(shared), np.asarray(direct))
+        # and the layer consumes the shared ranks identically
+        layer = SubMConvLayer(6, dtype=jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), feats, active, hash_)
+        out_direct = layer.apply(params, feats, active, hash_)
+        out_shared = layer.apply(params, feats, active, hash_, neighbors=ranks)
+        np.testing.assert_allclose(
+            np.asarray(out_shared), np.asarray(out_direct), rtol=1e-5, atol=1e-5
+        )
+
     def test_submanifold_only_active_outputs(self):
         active = make_active(10, 2)
         feats = jnp.ones((12, 4))

@@ -89,3 +89,46 @@ class TestVoxelize:
                        max_points_per_voxel=2)
         assert int(np.asarray(out["voxel_valid"]).sum()) == 0
         assert np.all(np.asarray(out["point_voxel"]) == -1)
+
+
+class TestBlockFiltering:
+    """Height-based ground removal (all.fhd.config:10-13 block_filtering)."""
+
+    def test_ground_points_removed(self):
+        from lyft3d_tpu.ops.voxelize import block_filter_mask
+
+        grid = GRID._replace(block_filtering=True, block_factor=1,
+                             block_size=4, height_threshold=0.5)
+        # Block (0,0): ground at z=0.1 plus two elevated points; block (1,0)
+        # (x>=4): ground at z=1.0 with one elevated point.
+        pts = np.array([
+            [0.5, 0.5, 0.10, 0],   # ground, removed
+            [1.5, 1.5, 0.15, 0],   # within 0.5 of block min, removed
+            [2.5, 0.5, 1.00, 0],   # 0.9 above block min, kept
+            [0.5, 2.5, 3.00, 0],   # kept
+            [5.0, 0.5, 1.00, 0],   # other block's ground, removed
+            [6.0, 1.0, 1.80, 0],   # 0.8 above ITS block min, kept
+        ], np.float32)
+        mask = np.asarray(block_filter_mask(jnp.array(pts), jnp.ones(6, bool), grid))
+        assert mask.tolist() == [False, False, True, True, False, True]
+
+    def test_wired_through_voxelize_and_invalid_ignored(self):
+        grid = GRID._replace(block_filtering=True, block_factor=1,
+                             block_size=8, height_threshold=0.5)
+        pts = np.array([
+            [0.5, 0.5, 0.1, 0],    # ground (valid) -> filtered by height
+            [1.5, 1.5, 2.0, 0],    # kept
+            [2.5, 2.5, -5.0, 0],   # INVALID: must not poison the block min
+        ], np.float32)
+        valid = jnp.array([True, True, False])
+        out = voxelize(jnp.array(pts), valid, grid, max_voxels=4,
+                       max_points_per_voxel=2)
+        assert int(np.asarray(out["voxel_valid"]).sum()) == 1
+        coords = np.asarray(out["coords"])[np.asarray(out["voxel_valid"])]
+        assert coords[0].tolist() == [1, 1, 1]
+
+    def test_off_by_default(self):
+        pts = np.array([[0.5, 0.5, 0.1, 0]], np.float32)
+        out = voxelize(jnp.array(pts), jnp.ones(1, bool), GRID, max_voxels=2,
+                       max_points_per_voxel=2)
+        assert int(np.asarray(out["voxel_valid"]).sum()) == 1
