@@ -41,7 +41,7 @@ def main() -> None:
     from lyft3d_tpu.data.bev_pipeline import BEVConfig
     from lyft3d_tpu.models import build_model
     from lyft3d_tpu.ops.bev_raster import bev_rasterize_matmul, normalize_bev
-    from lyft3d_tpu.ops.mask_to_boxes import extract_detections
+    from lyft3d_tpu.ops.mask_to_boxes import extract_detections_from_logits
 
     cfg = BEVConfig()
     on_tpu = jax.default_backend() == "tpu"
@@ -60,10 +60,11 @@ def main() -> None:
         map3 = jnp.repeat(map_ch[..., None], 3, axis=-1)
         x = jnp.concatenate([lidar, map3], axis=-1)
         logits, _ = model.apply(params, x)
-        probs = jax.nn.softmax(logits, axis=-1)
         det = jax.vmap(
-            lambda pr: extract_detections(pr, max_components=64, max_pixels=512)
-        )(probs)
+            lambda lg: extract_detections_from_logits(
+                lg, max_components=64, max_pixels=512
+            )
+        )(logits)
         return det["boxes_px"], det["box_valid"], det["scores"], det["detect"]
 
     def repeated(params, points, valid, map_ch, iters):
@@ -135,10 +136,11 @@ def main() -> None:
         map3 = jnp.repeat(map_ch[..., None], 3, axis=-1)
         xx = jnp.concatenate([lidar, map3], axis=-1)
         logits, _ = model50.apply(params, xx)
-        probs = jax.nn.softmax(logits, axis=-1)
         det = jax.vmap(
-            lambda pr: extract_detections(pr, max_components=64, max_pixels=512)
-        )(probs)
+            lambda lg: extract_detections_from_logits(
+                lg, max_components=64, max_pixels=512
+            )
+        )(logits)
         return det["boxes_px"], det["box_valid"], det["scores"], det["detect"]
 
     def repeated50(params, points, valid, map_ch, iters):
@@ -239,8 +241,9 @@ def main() -> None:
 
     # The 1.1M-anchor program occasionally crashes the experimental axon
     # TPU relay (nondeterministic UNAVAILABLE "kernel fault"; every sub-op
-    # passes in isolation) — never let the secondary metric kill the
-    # headline one.
+    # passes in isolation) — never let a secondary metric kill the headline
+    # one. The full error repr is recorded so a genuine code regression is
+    # distinguishable from a relay flake (VERDICT r1 weak #6).
     sweeps_sec_second = None
     sec_error = None
     try:
@@ -250,7 +253,147 @@ def main() -> None:
         t_sl = min(sec_timed(1 + ITERS) for _ in range(2))
         sweeps_sec_second = round(SEC_BATCH * ITERS / max(t_sl - t_ss, 1e-9), 3)
     except Exception as e:  # relay crash → report, keep the BEV headline
-        sec_error = type(e).__name__
+        sec_error = repr(e)[:300]
+
+    del vparams, sec_pts, sec_valid, vox0
+    jax.clear_caches()
+
+    # Secondary: the TRUE-SPARSE middle at reference FHD geometry (0.05 m
+    # voxels, 1984²x40 grid, block filtering — all.fhd.config:4-13,
+    # SpMiddleFHD middle.py:111-212). Smaller batch: the sparse stack's
+    # per-sample working set is ~30x the pillars path's.
+    sparse_samples_per_sec = None
+    sparse_error = None
+    try:
+        SP_BATCH = 4
+        sp_exp = load_yaml(
+            SecondExperiment, REPO / "configs" / "second_lyft_9class_sparse.yaml"
+        )
+        spcfg = voxelnet_config_from_experiment(sp_exp)
+        spnet = VoxelNet(spcfg)
+        sp_pts = jnp.asarray(
+            np.stack(
+                [
+                    np.column_stack(
+                        [
+                            rng.uniform(-49.6, 49.6, N_SEC),
+                            rng.uniform(-49.6, 49.6, N_SEC),
+                            rng.uniform(-3.0, 1.0, N_SEC),
+                        ]
+                    ).astype(np.float32)
+                    for _ in range(SP_BATCH)
+                ]
+            )
+        )
+        sp_valid = jnp.ones((SP_BATCH, N_SEC), bool)
+        spvox0 = jax.vmap(
+            lambda p, v: voxelize(p, v, spcfg.grid, spcfg.max_voxels,
+                                  spcfg.max_points_per_voxel)
+        )(sp_pts[:1], sp_valid[:1])
+        sp_params = jax.jit(spnet.init)(
+            jax.random.PRNGKey(0), spvox0["voxels"], spvox0["num_points"],
+            spvox0["coords"], spvox0["voxel_valid"],
+        )
+        sp_anchors, _, _, sp_acls = spcfg.make_anchors()
+
+        def sp_e2e(params, points, valid):
+            vox = jax.vmap(
+                lambda p, v: voxelize(p, v, spcfg.grid, spcfg.max_voxels,
+                                      spcfg.max_points_per_voxel)
+            )(points, valid)
+            preds = spnet.apply(
+                params, vox["voxels"], vox["num_points"], vox["coords"],
+                vox["voxel_valid"],
+            )
+            det = jax.vmap(
+                lambda b, c, d: voxelnet_predict(
+                    {"box": b, "cls": c, "dir": d}, sp_anchors, sp_acls, spcfg
+                )
+            )(preds["box"], preds["cls"], preds["dir"])
+            return det["boxes"], det["scores"]
+
+        def sp_repeated(params, points, valid, iters):
+            def body(i, acc):
+                p = points + (i.astype(jnp.float32) * 1e-6)
+                boxes, scores = sp_e2e(params, p, valid)
+                return acc + jnp.sum(scores) + jnp.sum(jnp.abs(boxes))
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        sp_repeated = jax.jit(sp_repeated, static_argnums=(3,))
+
+        def sp_timed(iters):
+            t0 = time.perf_counter()
+            float(sp_repeated(sp_params, sp_pts, sp_valid, iters))
+            return time.perf_counter() - t0
+
+        float(sp_repeated(sp_params, sp_pts, sp_valid, 1))
+        float(sp_repeated(sp_params, sp_pts, sp_valid, 1 + ITERS))
+        t_ps = min(sp_timed(1) for _ in range(2))
+        t_pl = min(sp_timed(1 + ITERS) for _ in range(2))
+        sparse_samples_per_sec = round(
+            SP_BATCH * ITERS / max(t_pl - t_ps, 1e-9), 3
+        )
+        del sp_params, sp_pts, sp_valid, spvox0
+        jax.clear_caches()
+    except Exception as e:
+        sparse_error = repr(e)[:300]
+
+    # Secondary: PointRCNN (third detector family) joint forward at the
+    # reference Lyft capacities — 16384 points, SA 4096/1024/256/64, 100
+    # proposals, 512 RoI points (tools/cfgs/default.yaml:41-48).
+    pointrcnn_samples_per_sec = None
+    prcnn_error = None
+    try:
+        from lyft3d_tpu.models.pointrcnn.net import (
+            PointRCNN,
+            lyft_pointrcnn_config,
+        )
+
+        pcfg = lyft_pointrcnn_config("test")
+        pmodel = PointRCNN(pcfg)
+        PR_N = 16384
+        pr_pts = jnp.asarray(
+            np.column_stack(
+                [
+                    rng.uniform(-40, 40, PR_N),
+                    rng.uniform(-40, 40, PR_N),
+                    rng.uniform(-2, 1, PR_N),
+                ]
+            ).astype(np.float32)
+        )
+        pr_valid = jnp.ones((PR_N,), bool)
+        pr_params = jax.jit(pmodel.init)(
+            jax.random.PRNGKey(0), pr_pts, None, pr_valid
+        )
+
+        def pr_repeated(params, pts, valid, iters):
+            def body(i, acc):
+                out = pmodel.apply(
+                    params, pts + i.astype(jnp.float32) * 1e-6, None, valid
+                )
+                return (
+                    acc
+                    + jnp.sum(jnp.abs(out["refined"]))
+                    + jnp.sum(out["rcnn"]["cls"])
+                )
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        pr_repeated = jax.jit(pr_repeated, static_argnums=(3,))
+
+        def pr_timed(iters):
+            t0 = time.perf_counter()
+            float(pr_repeated(pr_params, pr_pts, pr_valid, iters))
+            return time.perf_counter() - t0
+
+        float(pr_repeated(pr_params, pr_pts, pr_valid, 1))
+        float(pr_repeated(pr_params, pr_pts, pr_valid, 1 + ITERS))
+        t_rs = min(pr_timed(1) for _ in range(2))
+        t_rl = min(pr_timed(1 + ITERS) for _ in range(2))
+        pointrcnn_samples_per_sec = round(ITERS / max(t_rl - t_rs, 1e-9), 3)
+    except Exception as e:
+        prcnn_error = repr(e)[:300]
 
     baseline_file = REPO / "CPU_BASELINE.json"
     if baseline_file.exists():
@@ -275,6 +418,10 @@ def main() -> None:
             "voxelnet_lyft9_e2e_samples_per_sec": sweeps_sec_second,
             "voxelnet_points_per_sample": N_SEC,
             "voxelnet_bench_error": sec_error,
+            "voxelnet_sparse_fhd_e2e_samples_per_sec": sparse_samples_per_sec,
+            "voxelnet_sparse_bench_error": sparse_error,
+            "pointrcnn_lyft_e2e_samples_per_sec": pointrcnn_samples_per_sec,
+            "pointrcnn_bench_error": prcnn_error,
             "cpu_baseline_sweeps_per_sec": baseline if baseline == baseline else None,
         },
     }

@@ -170,21 +170,29 @@ def cmd_train_second(args):
 
 
 def cmd_train_pointrcnn(args):
-    from lyft3d_tpu.models.pointrcnn.net import PointRCNNConfig
+    from lyft3d_tpu.models.pointrcnn.net import (
+        PointRCNNConfig,
+        lyft_pointrcnn_config,
+    )
     from lyft3d_tpu.pipelines.pointrcnn_train import (
         KittiLoaderConfig,
         KittiPointRCNNLoader,
         cache_rcnn_samples,
         train_pointrcnn_rpn,
         train_rcnn_offline,
+        train_rcnn_online,
     )
 
     loader = KittiPointRCNNLoader(
         args.kitti_root,
         KittiLoaderConfig(num_points=args.num_points,
-                          classes=tuple(args.classes.split(","))),
+                          classes=tuple(args.classes.split(",")),
+                          augment=args.augment),
     )
-    cfg = PointRCNNConfig()
+    cfg = (
+        lyft_pointrcnn_config("train") if args.preset == "lyft"
+        else PointRCNNConfig()
+    )
     model, params, losses = train_pointrcnn_rpn(
         loader, cfg, steps=args.steps, batch_size=args.batch_size
     )
@@ -195,6 +203,13 @@ def cmd_train_pointrcnn(args):
         cache = cache_rcnn_samples(model, params, loader, cfg)
         _, _, rcnn_losses = train_rcnn_offline(
             cache, cfg, steps=args.rcnn_steps
+        )
+        print(f"final rcnn loss: {rcnn_losses[-1]:.4f}")
+    elif args.mode == "rcnn":
+        # Online mode (train_rcnn.py:177-190, RPN.FIXED): frozen RPN runs
+        # per step, live proposals + RoI noise, RCNN trains on the fly.
+        _, _, rcnn_losses = train_rcnn_online(
+            model, params, loader, cfg, steps=args.rcnn_steps
         )
         print(f"final rcnn loss: {rcnn_losses[-1]:.4f}")
 
@@ -354,8 +369,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--classes", default="car")
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--batch-size", type=int, default=2)
-    sp.add_argument("--mode", choices=("rpn", "rcnn_offline"), default="rpn")
+    sp.add_argument("--mode", choices=("rpn", "rcnn", "rcnn_offline"),
+                    default="rpn")
     sp.add_argument("--rcnn-steps", type=int, default=100)
+    sp.add_argument("--preset", choices=("tiny", "lyft"), default="tiny",
+                    help="lyft = reference capacities (cfgs/default.yaml)")
+    sp.add_argument("--augment", action="store_true",
+                    help="scene-level flip/rotation/scaling augmentation")
     sp.set_defaults(fn=cmd_train_pointrcnn)
 
     sp = sub.add_parser("serve")

@@ -105,6 +105,20 @@ class PackedGroupedConv(nn.Module):
 
 
 class ConvNormAct(nn.Module):
+    """Conv → norm → ReLU.
+
+    ``norm_type``:
+    - "group" (default): GroupNorm — pure-function train step, but costs
+      real bandwidth at every inference call and cannot fold into the conv.
+    - "batch": BatchNorm with running stats (the reference's choice). Train
+      steps must apply with ``mutable=["batch_stats"]``; eval applies use
+      the running averages (detected via ``is_mutable_collection``).
+    - "folded": inference-only structure — conv WITH bias, no norm op. Use
+      :func:`lyft3d_tpu.models.fold_bn.fold_batch_norms` to convert a
+      trained "batch" checkpoint into this structure's params (the
+      reference's BN-folds-into-conv inference win).
+    """
+
     features: int
     kernel: int = 3
     strides: int = 1
@@ -112,11 +126,14 @@ class ConvNormAct(nn.Module):
     groups: int = 1
     act: bool = True
     norm: bool = True
+    norm_type: str = "group"  # "group" | "batch" | "folded"
     pack_groups: str = "auto"  # "auto" | "never" | "always"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        has_norm_op = self.norm and self.norm_type != "folded"
+        use_bias = (not self.norm) or self.norm_type == "folded"
         pack = self.groups > 1 and (
             self.pack_groups == "always"
             or (
@@ -134,7 +151,7 @@ class ConvNormAct(nn.Module):
                 strides=(self.strides, self.strides),
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
-                use_bias=not self.norm,
+                use_bias=use_bias,
                 dtype=self.dtype,
                 name="Conv_0",  # same param path as the nn.Conv branch
             )(x)
@@ -146,14 +163,23 @@ class ConvNormAct(nn.Module):
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
                 padding="SAME",
-                use_bias=not self.norm,
+                use_bias=use_bias,
                 dtype=self.dtype,
                 name="Conv_0",
             )(x)
-        if self.norm:
-            x = nn.GroupNorm(
-                num_groups=_num_groups(self.features), dtype=self.dtype
-            )(x)
+        if has_norm_op:
+            if self.norm_type == "batch":
+                x = nn.BatchNorm(
+                    use_running_average=not self.is_mutable_collection(
+                        "batch_stats"
+                    ),
+                    dtype=self.dtype,
+                    name="BatchNorm_0",
+                )(x)
+            else:
+                x = nn.GroupNorm(
+                    num_groups=_num_groups(self.features), dtype=self.dtype
+                )(x)
         if self.act:
             x = nn.relu(x)
         return x

@@ -30,7 +30,11 @@ from lyft3d_tpu.models.pointrcnn.modules import (
     SAModuleMSG,
     SharedMLP,
 )
-from lyft3d_tpu.ops.bin_coder import BinCoderConfig, decode_bin_boxes
+from lyft3d_tpu.ops.bin_coder import (
+    BinCoderConfig,
+    decode_bin_boxes,
+    decode_refined_boxes,
+)
 from lyft3d_tpu.ops.nms import rotated_nms, select_top_k
 from lyft3d_tpu.ops.pointnet2 import roi_pool3d
 from lyft3d_tpu.ops.rotated_iou import rotated_iou_3d
@@ -63,11 +67,77 @@ class PointRCNNConfig:
     roi_extra_width: float = 1.0
     rcnn_sa_npoints: Tuple[int, ...] = (64, 16)
     rcnn_widths: Tuple[int, ...] = (128, 256)
+    rcnn_sa_radii: Tuple[float, ...] = (1.0, 1.0)
+    rcnn_sa_nsamples: Tuple[int, ...] = (16, 16)
     # proposal targets
     fg_iou: float = 0.55
     bg_iou: float = 0.45
     rois_per_image: int = 32
     fg_fraction: float = 0.5
+    # final NMS over REFINED boxes at eval (eval_rcnn.py joint mode)
+    final_nms_iou: float = 0.1
+
+
+# Lyft 9-class mean sizes (w, l, h) — CLS_MEAN_SIZE,
+# tools/cfgs/default.yaml:20 (stored there as (w, h, l) in camera coords).
+LYFT_CLS_MEAN_SIZES = (
+    (1.93, 4.76, 1.72),   # car
+    (0.96, 2.35, 1.59),   # motorcycle
+    (2.96, 12.34, 3.44),  # bus
+    (0.63, 1.76, 1.44),   # bicycle
+    (2.84, 10.24, 3.44),  # truck
+    (0.77, 0.81, 1.78),   # pedestrian
+    (2.79, 8.20, 3.23),   # other_vehicle
+    (0.36, 0.73, 0.51),   # animal
+    (2.45, 6.52, 2.39),   # emergency_vehicle
+)
+
+LYFT_CLASS_NAMES = (
+    "car", "motorcycle", "bus", "bicycle", "truck", "pedestrian",
+    "other_vehicle", "animal", "emergency_vehicle",
+)
+
+
+def lyft_pointrcnn_config(mode: str = "test") -> PointRCNNConfig:
+    """Reference-capacity Lyft config (tools/cfgs/default.yaml): 16384-point
+    input, SA pyramid 4096/1024/256/64 with paired-radius MSG groups, FP to
+    128-ch point features, 512 train / 100 test proposals with
+    distance-bucketed NMS (0.85 train / 0.8 test), 512 RoI points, RCNN SA
+    128/32 + global, per-class CLS_MEAN_SIZE table for all 9 Lyft classes.
+    """
+    train = mode == "train"
+    return PointRCNNConfig(
+        sa_npoints=(4096, 1024, 256, 64),
+        sa_radii=((0.1, 0.5), (0.5, 1.0), (1.0, 2.0), (2.0, 4.0)),
+        sa_nsamples=((16, 32), (16, 32), (16, 32), (16, 32)),
+        sa_widths=(48, 128, 256, 512),  # 2 MSG branches => 96/256/512/1024 ch
+        fp_width=128,
+        rpn_coder=BinCoderConfig(
+            loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12,
+            class_mean_sizes=LYFT_CLS_MEAN_SIZES,
+        ),
+        num_proposals=512 if train else 100,
+        nms_pre=1024,
+        proposal_nms_iou=0.85 if train else 0.8,
+        distance_bucket=True,
+        bucket_radius=40.0,
+        near_fraction=0.7,
+        rcnn_coder=BinCoderConfig(
+            loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+            class_mean_sizes=LYFT_CLS_MEAN_SIZES,
+        ),
+        roi_points=512,
+        roi_extra_width=1.0,
+        rcnn_sa_npoints=(128, 32),
+        rcnn_widths=(128, 256, 512),
+        rcnn_sa_radii=(0.2, 0.4),
+        rcnn_sa_nsamples=(64, 64),
+        fg_iou=0.55,
+        bg_iou=0.45,
+        rois_per_image=64,
+        fg_fraction=0.5,
+        final_nms_iou=0.1,
+    )
 
 
 class PointRCNNBackbone(nn.Module):
@@ -173,6 +243,23 @@ def proposal_target_layer(rois, roi_valid, gt_boxes, gt_valid, cfg: PointRCNNCon
     return {"assigned_gt": best_gt, "fg": keep_fg, "keep": keep, "max_iou": best_iou}
 
 
+def aug_rois_with_noise(rois, rng, loc_std: float = 0.3, yaw_std: float = 0.3,
+                        size_std: float = 0.05):
+    """Train-time RoI perturbation (``aug_roi_by_noise_batch``,
+    kitti_rcnn_dataset.py:1093): jitter center/size/heading so the RCNN sees
+    a diverse IoU distribution instead of only the RPN's exact proposals.
+    Vectorized Gaussian variant of the reference's resample loop."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    loc = rois[:, :3] + loc_std * jax.random.normal(k1, rois[:, :3].shape)
+    size = rois[:, 3:6] * (
+        1.0 + size_std * jax.random.normal(k2, rois[:, 3:6].shape)
+    )
+    yaw = rois[:, 6] + yaw_std * jax.random.normal(k3, rois[:, 6].shape)
+    return jnp.concatenate(
+        [loc, jnp.maximum(size, 0.1), yaw[:, None]], axis=-1
+    ).astype(rois.dtype)
+
+
 def canonical_transform(pooled_xyz, rois):
     """Rotate RoI point samples into the box-canonical frame
     (rcnn_net.py:146-152): subtract center, rotate by −yaw."""
@@ -219,9 +306,11 @@ class _RoIEncoder(nn.Module):
         xyz = pts[:, :3]
         feats = SharedMLP([c.rcnn_widths[0]], dtype=self.dtype)(pts)
         valid = jnp.arange(pts.shape[0]) < jnp.maximum(count, 1)
-        for npoint, w in zip(c.rcnn_sa_npoints, c.rcnn_widths):
+        for npoint, w, r, ns in zip(
+            c.rcnn_sa_npoints, c.rcnn_widths, c.rcnn_sa_radii, c.rcnn_sa_nsamples
+        ):
             xyz, feats, valid = SAModuleMSG(
-                npoint=npoint, radii=(1.0,), nsamples=(16,), mlps=[[w, w]],
+                npoint=npoint, radii=(r,), nsamples=(ns,), mlps=[[w, w]],
                 dtype=self.dtype,
             )(xyz, feats, valid)
         return SAModuleGlobal([c.rcnn_widths[-1]], dtype=self.dtype)(xyz, feats, valid)
@@ -266,10 +355,14 @@ class PointRCNN(nn.Module):
         canon = canonical_transform(pooled[..., :3], rois)
         roi_pts = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
         rcnn_out = PointRCNN_RCNN(c, dtype=self.dtype)(roi_pts, counts)
+        # The stage-2 deliverable: RCNN regression decoded into refined
+        # lidar-frame boxes (eval_rcnn.py decodes rcnn_reg before scoring).
+        refined = decode_refined_boxes(rois, rcnn_out["reg"], c.rcnn_coder)
         return {
             "rpn": rpn_out,
             "proposals": props,
             "rcnn": rcnn_out,
+            "refined": refined,
             "roi_empty": empty,
         }
 

@@ -20,12 +20,13 @@ with B = 2·loc_scope/loc_bin_size bins per axis.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BinCoderConfig", "encode_bin_targets", "decode_bin_boxes", "bin_reg_loss"]
+__all__ = ["BinCoderConfig", "encode_bin_targets", "decode_bin_boxes",
+           "decode_refined_boxes", "bin_reg_loss"]
 
 from lyft3d_tpu.train.losses import smooth_l1
 
@@ -36,6 +37,20 @@ class BinCoderConfig:
     loc_bin_size: float = 0.5
     num_head_bin: int = 12
     mean_size: Tuple[float, float, float] = (1.9, 4.6, 1.7)  # (w, l, h)
+    # Per-class mean-size table (CLS_MEAN_SIZE, tools/cfgs/default.yaml:20:
+    # one (w, l, h) row per class). When set, encode/decode index it with
+    # the per-anchor ``class_ids`` argument; ``mean_size`` is the fallback
+    # for callers without class information.
+    class_mean_sizes: Optional[Tuple[Tuple[float, float, float], ...]] = None
+
+    def means_for(self, n: int, class_ids=None):
+        """(N, 3) mean sizes: the per-class table row per anchor, or the
+        global mean broadcast."""
+        if self.class_mean_sizes is not None and class_ids is not None:
+            table = jnp.asarray(self.class_mean_sizes)
+            idx = jnp.clip(class_ids, 0, table.shape[0] - 1)
+            return table[idx]
+        return jnp.broadcast_to(jnp.asarray(self.mean_size), (n, 3))
 
     @property
     def num_loc_bins(self) -> int:
@@ -58,11 +73,13 @@ class BinCoderConfig:
         return out
 
 
-def encode_bin_targets(anchors_xyz, gt_boxes, cfg: BinCoderConfig):
+def encode_bin_targets(anchors_xyz, gt_boxes, cfg: BinCoderConfig,
+                       class_ids=None):
     """Targets for points/RoIs at (N, 3) anchor positions vs (N, 7) GTs.
 
     Returns dict of integer bin labels and float residuals (already
-    normalized), for use by :func:`bin_reg_loss`.
+    normalized), for use by :func:`bin_reg_loss`. ``class_ids`` selects
+    per-class mean sizes when the config carries a table.
     """
     dx = gt_boxes[:, 0] - anchors_xyz[:, 0]
     dy = gt_boxes[:, 1] - anchors_xyz[:, 1]
@@ -87,7 +104,7 @@ def encode_bin_targets(anchors_xyz, gt_boxes, cfg: BinCoderConfig):
         angle_per_bin / 2
     )
 
-    mean = jnp.asarray(cfg.mean_size)
+    mean = cfg.means_for(gt_boxes.shape[0], class_ids)
     size_res = (gt_boxes[:, 3:6] - mean) / mean
     return {
         "x_bin": x_bin, "x_res": x_res,
@@ -98,7 +115,7 @@ def encode_bin_targets(anchors_xyz, gt_boxes, cfg: BinCoderConfig):
     }
 
 
-def decode_bin_boxes(anchors_xyz, reg, cfg: BinCoderConfig):
+def decode_bin_boxes(anchors_xyz, reg, cfg: BinCoderConfig, class_ids=None):
     """(N, channels) raw head output → (N, 7) boxes at anchor positions."""
     sl = cfg.slices()
     nb = cfg.num_loc_bins
@@ -119,9 +136,33 @@ def decode_bin_boxes(anchors_xyz, reg, cfg: BinCoderConfig):
     yaw = (hb.astype(hres.dtype) + 0.5) * angle_per_bin + hres * (angle_per_bin / 2)
     yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
 
-    mean = jnp.asarray(cfg.mean_size)
+    mean = cfg.means_for(reg.shape[0], class_ids)
     size = reg[:, sl["size_res"]] * mean + mean
     return jnp.stack([x, y, z, size[:, 0], size[:, 1], size[:, 2], yaw], axis=-1)
+
+
+def decode_refined_boxes(rois, rcnn_reg, cfg: BinCoderConfig, class_ids=None):
+    """RCNN regression → refined boxes in the LIDAR frame.
+
+    The RCNN head regresses in each RoI's canonical frame (origin at the
+    RoI center, x along its heading — the frame ``canonical_transform``
+    pools points in), so decoding at the origin yields a canonical-frame
+    box that must be rotated by the RoI yaw and translated back
+    (``eval_rcnn.py:117-694`` decodes rcnn_reg via ``decode_bbox_target``
+    with the RoI as anchor before final scoring).
+    """
+    canon = decode_bin_boxes(
+        jnp.zeros((rois.shape[0], 3), rcnn_reg.dtype), rcnn_reg, cfg, class_ids
+    )
+    c, s = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    x = c * canon[:, 0] - s * canon[:, 1] + rois[:, 0]
+    y = s * canon[:, 0] + c * canon[:, 1] + rois[:, 1]
+    z = canon[:, 2] + rois[:, 2]
+    yaw = canon[:, 6] + rois[:, 6]
+    yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+    return jnp.stack(
+        [x, y, z, canon[:, 3], canon[:, 4], canon[:, 5], yaw], axis=-1
+    )
 
 
 def bin_reg_loss(reg, targets, fg_mask, cfg: BinCoderConfig):

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from lyft3d_tpu.ops.connected_components import connected_components, morph_open
 
-__all__ = ["mask_to_rotated_boxes", "extract_detections"]
+__all__ = ["mask_to_rotated_boxes", "extract_detections",
+           "extract_detections_from_logits"]
 
 
 def mask_to_rotated_boxes(
@@ -161,6 +162,50 @@ def extract_detections(
     """
     h, w, c = probs.shape
     fg = (1.0 - probs[..., 0]) > bg_threshold
+    return _finish_extraction(
+        fg, lambda ri, ci: probs[ri, ci, 1:],
+        class_score_threshold, max_components, max_pixels, n_angles,
+        open_iterations,
+    )
+
+
+def extract_detections_from_logits(
+    logits,
+    bg_threshold: float = 80.0 / 255.0,
+    class_score_threshold: float = 0.01,
+    max_components: int = 64,
+    max_pixels: int = 1024,
+    n_angles: int = 90,
+    open_iterations: int = 1,
+):
+    """:func:`extract_detections` taking raw LOGITS — the fused fast path.
+
+    Numerically identical semantics, without materializing the (H, W, C)
+    softmax: the foreground test ``1 − P(bg) > t`` is the logit-space test
+    ``logit_bg − logsumexp < log(1 − t)``, and class probabilities are only
+    needed at the ≤ ``max_components`` component centroids, so the full-grid
+    softmax (≈30 ms of the 71.6 ms batch-32 e2e alongside extraction) never
+    exists. Reference chain being replaced: softmax → uint8 → threshold
+    (unet-inference-with-map.py:610-626).
+    """
+    h, w, c = logits.shape
+    lf = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    fg = (lf[..., 0] - lse) < jnp.log1p(-bg_threshold)
+
+    def cls_probs_at(ri, ci):
+        rows = lf[ri, ci, :]  # (max_components, C)
+        return jax.nn.softmax(rows, axis=-1)[:, 1:]
+
+    return _finish_extraction(
+        fg, cls_probs_at, class_score_threshold, max_components, max_pixels,
+        n_angles, open_iterations,
+    )
+
+
+def _finish_extraction(fg, cls_probs_at, class_score_threshold,
+                       max_components, max_pixels, n_angles, open_iterations):
+    h, w = fg.shape
     fg = morph_open(fg, iterations=open_iterations)
     boxes, valid, counts, centroids = mask_to_rotated_boxes(
         fg, max_components=max_components, max_pixels=max_pixels, n_angles=n_angles
@@ -169,7 +214,7 @@ def extract_detections(
     # Nearest-pixel class probabilities at the centroid.
     ci = jnp.clip(centroids[:, 0].astype(jnp.int32), 0, w - 1)
     ri = jnp.clip(centroids[:, 1].astype(jnp.int32), 0, h - 1)
-    cls_probs = probs[ri, ci, 1:]  # (max_components, C-1)
+    cls_probs = cls_probs_at(ri, ci)  # (max_components, C-1)
     detect = (cls_probs >= class_score_threshold) & valid[:, None]
     return {
         "boxes_px": boxes,

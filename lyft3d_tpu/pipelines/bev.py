@@ -26,7 +26,7 @@ from lyft3d_tpu.data.bev_pipeline import (
 )
 from lyft3d_tpu.data.lyftdb import LyftDB
 from lyft3d_tpu.ops.bev_raster import bev_rasterize, normalize_bev
-from lyft3d_tpu.ops.mask_to_boxes import extract_detections
+from lyft3d_tpu.ops.mask_to_boxes import extract_detections_from_logits
 
 
 def make_bev_input(points, valid, map_channel, cfg: BEVConfig, backend: str = "auto"):
@@ -62,15 +62,17 @@ def make_infer_fn(
         for model, params in models_and_params:
             l, _ = model.apply(params, x)
             logits = l if logits is None else logits + l
-        probs = jax.nn.softmax(logits / len(models_and_params), axis=-1)
+        # Fused path: no full-grid softmax — the fg test runs in logit
+        # space and class probabilities are read only at the component
+        # centroids (extract_detections_from_logits).
         return jax.vmap(
-            lambda pr: extract_detections(
-                pr,
+            lambda lg: extract_detections_from_logits(
+                lg / len(models_and_params),
                 bg_threshold=bg_threshold,
                 class_score_threshold=class_score_threshold,
                 max_components=max_components,
             )
-        )(probs)
+        )(logits)
 
     return jax.jit(infer)
 

@@ -46,6 +46,12 @@ class KittiLoaderConfig:
     classes: tuple = ("car",)
     range_xyz: tuple = (80.0, 80.0, 5.0)
     max_gt: int = 32
+    # Scene-level augmentation (``data_augmentation``,
+    # kitti_rcnn_dataset.py:555): random flip + global rotation + scaling
+    # applied jointly to points and GT boxes. Off for eval loaders.
+    augment: bool = False
+    aug_rot_range: float = float(np.pi / 4)
+    aug_scale_range: tuple = (0.95, 1.05)
 
 
 class KittiPointRCNNLoader:
@@ -121,6 +127,23 @@ class KittiPointRCNNLoader:
                     pts[slots, :3] = paste[:n_paste]
                     if pts.shape[1] > 3:
                         pts[slots, 3:] = 0.0
+
+        if cfg.augment:
+            from lyft3d_tpu.data.augment import (
+                global_rotation,
+                global_scaling,
+                random_flip,
+            )
+
+            boxes_arr = boxes_arr.astype(np.float32)
+            pts, boxes_arr = random_flip(pts, boxes_arr, self.rng)
+            pts, boxes_arr, _ = global_rotation(
+                pts, boxes_arr, self.rng,
+                rotation=(-cfg.aug_rot_range, cfg.aug_rot_range),
+            )
+            pts, boxes_arr, _ = global_scaling(
+                pts, boxes_arr, self.rng, scale=cfg.aug_scale_range
+            )
 
         gt = np.zeros((cfg.max_gt, 7), np.float32)
         gt_valid = np.zeros(cfg.max_gt, bool)
@@ -205,13 +228,15 @@ def train_pointrcnn_rpn(
     while i < steps:
         for part in parts:  # round-robin (train_rcnn.py:288-342)
             stems = list(part)
+            if not stems:  # fewer frames than parts
+                continue
             rng.shuffle(stems)
             for j in range(0, max(len(stems) - batch_size + 1, 1), batch_size):
                 if i >= steps:
                     break
+                picked = stems[j : j + batch_size] or stems[:1]
                 batch = {
-                    k: jnp.asarray(v)
-                    for k, v in loader.batch(stems[j : j + batch_size]).items()
+                    k: jnp.asarray(v) for k, v in loader.batch(picked).items()
                 }
                 params, opt_state, loss, metrics = step(params, opt_state, batch)
                 losses.append(float(loss))
@@ -229,30 +254,40 @@ def eval_pointrcnn(
     recall_thresholds: Sequence[float] = (0.1, 0.3, 0.5, 0.7),
     verbose: bool = False,
 ):
-    """Joint eval: proposals + RCNN scores → KITTI label files + frames for
-    the AP evaluator, with recall@IoU stats (eval_rcnn.py:440-463)."""
+    """Joint eval: REFINED boxes (RCNN regression decoded into the lidar
+    frame) scored by the RCNN head, final rotated NMS → KITTI label files +
+    frames for the AP evaluator, with recall@IoU stats
+    (eval_rcnn.py:117-694: decode_bbox_target on rcnn_reg, then NMS)."""
+    from lyft3d_tpu.ops.nms import rotated_nms
+
     calib_cache: Dict[str, Calibration] = {}
     gt_frames, det_frames = [], []
 
     @jax.jit
     def infer(xyz, valid):
-        return model.apply(params, xyz, None, valid)
+        out = model.apply(params, xyz, None, valid)
+        refined = out["refined"]
+        score = jax.nn.sigmoid(out["rcnn"]["cls"])
+        ok = out["proposals"]["roi_valid"] & ~out["roi_empty"]
+        score = jnp.where(ok, score, 0.0)
+        bev = jnp.concatenate(
+            [refined[:, 0:2], refined[:, 3:5], refined[:, 6:7]], -1
+        )
+        keep = rotated_nms(bev, score, cfg.final_nms_iou, valid=ok)
+        return refined, jnp.where(keep, score, 0.0)
 
     for stem in loader.stems:
         s = loader.sample(stem)
-        out = jax.device_get(
+        boxes, scores = jax.device_get(
             infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
         )
-        rois = out["proposals"]["rois"]
-        roi_valid = out["proposals"]["roi_valid"]
-        scores = 1.0 / (1.0 + np.exp(-out["rcnn"]["cls"]))
-        scores = np.where(out["roi_empty"], 0.0, scores)
+        roi_valid = scores > 0.0
 
         det_frames.append(
             {
-                "boxes": rois,
-                "names": np.asarray([class_name] * len(rois)),
-                "scores": np.where(roi_valid, scores, 0.0),
+                "boxes": boxes,
+                "names": np.asarray([class_name] * len(boxes)),
+                "scores": scores,
             }
         )
         g = s["gt_boxes"][s["gt_valid"]]
@@ -268,15 +303,15 @@ def eval_pointrcnn(
                 stem, Calibration.from_file(loader.root / "calib" / f"{stem}.txt")
             )
             objs = []
-            for i in range(len(rois)):
+            for i in range(len(boxes)):
                 if not roi_valid[i] or scores[i] <= 0.01:
                     continue
-                pos, ry = box_lidar_to_camera(np.asarray(rois[i], np.float64), calib)
+                pos, ry = box_lidar_to_camera(np.asarray(boxes[i], np.float64), calib)
                 objs.append(
                     Object3d(
                         cls_type=class_name.capitalize(), truncation=0.0, occlusion=0,
                         alpha=0.0, box2d=np.array([0.0, 0.0, 50.0, 50.0]),
-                        h=float(rois[i][5]), w=float(rois[i][3]), l=float(rois[i][4]),
+                        h=float(boxes[i][5]), w=float(boxes[i][3]), l=float(boxes[i][4]),
                         pos=pos, ry=ry, score=float(scores[i]),
                     )
                 )
@@ -394,3 +429,107 @@ def train_rcnn_offline(cache, cfg: PointRCNNConfig, steps: int = 100,
         )
         losses.append(float(loss))
     return model, params, losses
+
+
+def train_rcnn_online(
+    rpn_model,
+    rpn_params,
+    loader: KittiPointRCNNLoader,
+    cfg: PointRCNNConfig,
+    steps: int = 100,
+    batch_size: int = 1,
+    lr: float = 1e-3,
+    seed: int = 0,
+    roi_noise: bool = True,
+):
+    """ONLINE ``rcnn`` train mode (train_rcnn.py:177-190, RPN.FIXED): the
+    frozen RPN runs every step, proposals are generated live, optionally
+    perturbed by RoI noise, then the RCNN trains on RoI-pooled live
+    features. Only RCNN parameters receive gradients.
+
+    Returns (rcnn_model, rcnn_params, losses).
+    """
+    import optax
+
+    from lyft3d_tpu.models.pointrcnn.net import (
+        PointRCNN_RCNN,
+        aug_rois_with_noise,
+        canonical_transform,
+        proposal_layer,
+        proposal_target_layer,
+        rcnn_loss,
+    )
+    from lyft3d_tpu.ops.pointnet2 import roi_pool3d
+
+    rcnn = PointRCNN_RCNN(cfg)
+
+    @jax.jit
+    def stage1(xyz, valid, gt, gt_valid, key):
+        """Frozen RPN → proposals (+ optional noise) → pooled RoI points."""
+        feats = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
+        out = rpn_model.apply(rpn_params, xyz, feats, valid)
+        props = proposal_layer(xyz, out["cls"], out["reg"], valid, cfg)
+        rois = props["rois"]
+        if roi_noise:
+            rois = aug_rois_with_noise(rois, key)
+        tgts = proposal_target_layer(
+            rois, props["roi_valid"], gt, gt_valid, cfg, key
+        )
+        pooled, counts, empty = roi_pool3d(
+            xyz, out["point_features"], valid, rois,
+            num_sampled=cfg.roi_points, extra_width=cfg.roi_extra_width,
+        )
+        canon = canonical_transform(pooled[..., :3], rois)
+        roi_pts = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
+        return roi_pts, counts, rois, tgts
+
+    b0 = loader.sample(loader.stems[0])
+    pts0, counts0, _, _ = stage1(
+        jnp.asarray(b0["points"]), jnp.asarray(b0["points_valid"]),
+        jnp.asarray(b0["gt_boxes"]), jnp.asarray(b0["gt_valid"]),
+        jax.random.PRNGKey(0),
+    )
+    params = jax.jit(rcnn.init)(jax.random.PRNGKey(seed), pts0, counts0)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, roi_pts, counts, rois, tgts, gt):
+        def lf(p):
+            out = rcnn.apply(p, roi_pts, counts)
+            return rcnn_loss(out, rois, tgts, gt, cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed)
+    losses = []
+    for i in range(steps):
+        stem = loader.stems[rng.randint(len(loader.stems))]
+        s = loader.sample(stem)
+        gt = jnp.asarray(s["gt_boxes"])
+        roi_pts, counts, rois, tgts = stage1(
+            jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]),
+            gt, jnp.asarray(s["gt_valid"]), jax.random.PRNGKey(seed * 7919 + i),
+        )
+        params, opt_state, loss = step(
+            params, opt_state, roi_pts, counts, rois, tgts, gt
+        )
+        losses.append(float(loss))
+    return rcnn, params, losses
+
+
+def assemble_joint_params(joint_model: PointRCNN, rpn_params, rcnn_params,
+                          example):
+    """Merge separately-trained stage params into the joint net's tree
+    (the reference's eval loads --rpn_ckpt + --rcnn_ckpt, eval_rcnn.py:707).
+
+    ``example`` = (xyz, valid) arrays for shape-only init.
+    """
+    xyz, valid = example
+    params = jax.jit(joint_model.init)(jax.random.PRNGKey(0), xyz, None, valid)
+    merged = dict(params["params"])
+    merged["PointRCNN_RPN_0"] = rpn_params["params"]
+    merged["PointRCNN_RCNN_0"] = rcnn_params["params"]
+    return {"params": merged}

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""End-to-end PointRCNN learning demo: synthetic Lyft (cars only) →
-KITTI export → RPN training (4-part round-robin) → proposal recall@IoU +
-BEV AP. Prints one JSON line.
+"""End-to-end two-stage PointRCNN learning demo: synthetic Lyft (cars only)
+→ KITTI export → RPN training (4-part round-robin) → online RCNN training
+(frozen RPN, live proposals) → joint eval where the RCNN's decoded REFINED
+boxes are compared against the raw proposals (recall@IoU + BEV AP).
+Prints one JSON line.
 
 Companion to demo_bev_e2e.py / demo_second_e2e.py for the third detector
-family (overfit-by-design): proves points → PointNet++ RPN → proposals
-learns real geometry on TPU.
+family (overfit-by-design): proves points → PointNet++ RPN → proposals →
+RCNN refinement learns real geometry on TPU.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ def main(steps: int = 200, out_dir: str = "/tmp/lyft3d_pointrcnn_demo"):
     from lyft3d_tpu.data.lyftdb import LyftDB
     from lyft3d_tpu.data.synthetic import make_synthetic_lyft
     from lyft3d_tpu.eval.kitti_eval import kitti_ap, recall_at
-    from lyft3d_tpu.models.pointrcnn.net import PointRCNNConfig, proposal_layer
+    from lyft3d_tpu.models.pointrcnn.net import PointRCNNConfig
     from lyft3d_tpu.pipelines.pointrcnn_train import (
         KittiLoaderConfig,
         KittiPointRCNNLoader,
@@ -51,27 +53,52 @@ def main(steps: int = 200, out_dir: str = "/tmp/lyft3d_pointrcnn_demo"):
         loader, cfg, steps=steps, batch_size=2, lr=2e-3
     )
 
-    # Proposal-stage eval: recall of GT boxes by the learned proposals.
-    @jax.jit
-    def infer(xyz, valid):
-        feats = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
-        rpn_out = model.apply(params, xyz, feats, valid)
-        return proposal_layer(xyz, rpn_out["cls"], rpn_out["reg"], valid, cfg)
+    # Stage 2: online RCNN training on live frozen-RPN proposals.
+    from lyft3d_tpu.models.pointrcnn.net import PointRCNN
+    from lyft3d_tpu.pipelines.pointrcnn_train import (
+        assemble_joint_params,
+        train_rcnn_online,
+    )
 
-    gt_frames, det_frames = [], []
+    rcnn_model, rcnn_params, rcnn_losses = train_rcnn_online(
+        model, params, loader, cfg, steps=max(steps // 2, 50), lr=1e-3
+    )
+
     import numpy as np
 
+    s0 = loader.sample(loader.stems[0])
+    joint = PointRCNN(cfg)
+    joint_params = assemble_joint_params(
+        joint, params, rcnn_params,
+        (jnp.asarray(s0["points"]), jnp.asarray(s0["points_valid"])),
+    )
+
+    # Joint eval: compare raw proposals against RCNN-refined boxes.
+    @jax.jit
+    def infer(xyz, valid):
+        return joint.apply(joint_params, xyz, None, valid)
+
+    gt_frames, prop_frames, ref_frames = [], [], []
     for stem in loader.stems:
         s = loader.sample(stem)
-        props = jax.device_get(
+        out = jax.device_get(
             infer(jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]))
         )
-        det_frames.append(
+        props = out["proposals"]
+        rcnn_score = 1.0 / (1.0 + np.exp(-out["rcnn"]["cls"]))
+        ok = props["roi_valid"] & ~out["roi_empty"]
+        prop_frames.append(
             {
                 "boxes": props["rois"],
                 "names": np.asarray(["car"] * len(props["rois"])),
-                # roi_scores are already sigmoid probabilities
                 "scores": np.where(props["roi_valid"], props["roi_scores"], 0.0),
+            }
+        )
+        ref_frames.append(
+            {
+                "boxes": out["refined"],
+                "names": np.asarray(["car"] * len(out["refined"])),
+                "scores": np.where(ok, rcnn_score, 0.0),
             }
         )
         g = s["gt_boxes"][s["gt_valid"]]
@@ -83,22 +110,30 @@ def main(steps: int = 200, out_dir: str = "/tmp/lyft3d_pointrcnn_demo"):
             }
         )
 
-    recalls = {
-        f"recall@{t}": round(recall_at(gt_frames, det_frames, "car", t), 4)
-        for t in (0.1, 0.3, 0.5)
-    }
-    ap_bev = kitti_ap(gt_frames, det_frames, "car", 0.5, "bev")
+    recalls = {}
+    for t in (0.1, 0.3, 0.5, 0.7):
+        recalls[f"proposal_recall@{t}"] = round(
+            recall_at(gt_frames, prop_frames, "car", t), 4
+        )
+        recalls[f"refined_recall@{t}"] = round(
+            recall_at(gt_frames, ref_frames, "car", t), 4
+        )
+    ap_bev = kitti_ap(gt_frames, prop_frames, "car", 0.5, "bev")
+    ap_bev_ref = kitti_ap(gt_frames, ref_frames, "car", 0.5, "bev")
     print(
         json.dumps(
             {
-                "demo": "pointrcnn_rpn_train_recall",
+                "demo": "pointrcnn_two_stage_train_recall",
                 "steps": steps,
                 "frames": len(loader.stems),
                 "num_gt": int(sum(len(g["boxes"]) for g in gt_frames)),
                 "loss_first": round(float(np.mean(losses[:10])), 4),
                 "loss_last": round(float(np.mean(losses[-10:])), 4),
+                "rcnn_loss_first": round(float(np.mean(rcnn_losses[:10])), 4),
+                "rcnn_loss_last": round(float(np.mean(rcnn_losses[-10:])), 4),
                 **recalls,
-                "ap_bev@0.5": round(float(ap_bev), 4),
+                "ap_bev@0.5_proposals": round(float(ap_bev), 4),
+                "ap_bev@0.5_refined": round(float(ap_bev_ref), 4),
                 "wall_s": round(time.time() - t0, 1),
                 "backend": jax.default_backend(),
             }

@@ -18,9 +18,11 @@ from lyft3d_tpu.ops.voxelize import voxelize
 from lyft3d_tpu.pipelines.second_train import voxelnet_config_from_experiment
 
 REPO = Path(__file__).resolve().parent.parent
-B = 8
-N = 262144
-ITERS = 8
+# argv: [config_name] [batch] [n_points] [iters]
+CONFIG = sys.argv[1] if len(sys.argv) > 1 else "second_lyft_9class.yaml"
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 262144
+ITERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 
 def timed(name, fn, *args):
@@ -48,7 +50,7 @@ def timed(name, fn, *args):
 
 
 def main():
-    exp = load_yaml(SecondExperiment, REPO / "configs" / "second_lyft_9class.yaml")
+    exp = load_yaml(SecondExperiment, REPO / "configs" / CONFIG)
     vcfg = voxelnet_config_from_experiment(exp)
     vnet = VoxelNet(vcfg)
     rng = np.random.RandomState(0)

@@ -142,3 +142,33 @@ class TestExtractDetections:
         probs[..., 0] = 1.0
         out = extract_detections(jnp.array(probs), max_components=4)
         assert int(np.asarray(out["box_valid"]).sum()) == 0
+
+
+class TestLogitsPathEquivalence:
+    def test_logits_path_matches_probs_path(self):
+        """extract_detections_from_logits (no full-grid softmax) must agree
+        with the probs path on boxes, validity, scores and detect flags."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.mask_to_boxes import (
+            extract_detections,
+            extract_detections_from_logits,
+        )
+
+        rng = np.random.RandomState(5)
+        logits = rng.randn(48, 48, 5).astype(np.float32)
+        # plant two confident blobs of different classes
+        logits[8:14, 8:16, :] = -3.0
+        logits[8:14, 8:16, 1] = 4.0
+        logits[30:36, 20:24, :] = -3.0
+        logits[30:36, 20:24, 3] = 4.0
+        lj = jnp.asarray(logits)
+        probs = jax.nn.softmax(lj, axis=-1)
+        a = jax.device_get(extract_detections(probs, max_components=8))
+        b = jax.device_get(extract_detections_from_logits(lj, max_components=8))
+        np.testing.assert_array_equal(a["box_valid"], b["box_valid"])
+        np.testing.assert_array_equal(a["detect"], b["detect"])
+        np.testing.assert_allclose(a["boxes_px"], b["boxes_px"], atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)

@@ -204,3 +204,146 @@ class TestAugScenes:
         aug_loader = KittiPointRCNNLoader(out, KittiLoaderConfig(num_points=1024))
         s = aug_loader.sample(aug_loader.stems[0])
         assert s["gt_valid"].sum() >= 4
+
+
+class TestSceneAug:
+    def test_aug_changes_points_and_boxes(self, kitti_root):
+        base = KittiPointRCNNLoader(
+            kitti_root, KittiLoaderConfig(num_points=1024), seed=3
+        )
+        aug = KittiPointRCNNLoader(
+            kitti_root,
+            KittiLoaderConfig(num_points=1024, augment=True, aug_rot_range=0.5),
+            seed=3,
+        )
+        s0 = base.sample(base.stems[0])
+        s1 = aug.sample(aug.stems[0])
+        # same subsample seed: differences come from the scene augmentation
+        assert not np.allclose(s0["points"], s1["points"])
+        assert not np.allclose(
+            s0["gt_boxes"][s0["gt_valid"]], s1["gt_boxes"][s1["gt_valid"]]
+        )
+        # valid/gt counts unchanged by aug
+        assert s0["gt_valid"].sum() == s1["gt_valid"].sum()
+
+
+class TestRCNNOnline:
+    def test_online_mode_and_refined_eval(self, kitti_root, tmp_path):
+        """Online rcnn train mode (frozen RPN, live proposals) + joint eval
+        emitting REFINED boxes that differ from the raw proposals
+        (VERDICT r1 #3/#4)."""
+        import jax
+
+        from lyft3d_tpu.models.pointrcnn.net import PointRCNN_RPN
+        from lyft3d_tpu.pipelines.pointrcnn_train import (
+            assemble_joint_params,
+            train_rcnn_online,
+        )
+
+        loader = KittiPointRCNNLoader(kitti_root, KittiLoaderConfig(num_points=1024))
+        rpn = PointRCNN_RPN(TINY)
+        s = loader.sample(loader.stems[0])
+        rpn_params = jax.jit(rpn.init)(
+            jax.random.PRNGKey(0), jnp.asarray(s["points"]),
+            jnp.zeros((s["points"].shape[0], 1)), jnp.asarray(s["points_valid"]),
+        )
+        rcnn, rcnn_params, losses = train_rcnn_online(
+            rpn, rpn_params, loader, TINY, steps=4
+        )
+        assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
+
+        joint = PointRCNN(TINY)
+        joint_params = assemble_joint_params(
+            joint, rpn_params, rcnn_params,
+            (jnp.asarray(s["points"]), jnp.asarray(s["points_valid"])),
+        )
+        out = jax.device_get(
+            jax.jit(lambda x, v: joint.apply(joint_params, x, None, v))(
+                jnp.asarray(s["points"]), jnp.asarray(s["points_valid"])
+            )
+        )
+        # the refined boxes are decoded from the RCNN regression, not the rois
+        assert out["refined"].shape == out["proposals"]["rois"].shape
+        assert not np.allclose(out["refined"], out["proposals"]["rois"])
+
+        gt_frames, det_frames, stats = eval_pointrcnn(
+            joint, joint_params, loader, TINY
+        )
+        # eval output boxes are the refined set, not proposals.rois
+        assert not np.allclose(
+            det_frames[0]["boxes"], out["proposals"]["rois"], atol=1e-3
+        )
+
+
+class TestPerClassMeanSize:
+    def test_bin_coder_uses_class_table(self):
+        from lyft3d_tpu.ops.bin_coder import (
+            BinCoderConfig,
+            decode_bin_boxes,
+            encode_bin_targets,
+        )
+
+        cfg = BinCoderConfig(
+            class_mean_sizes=((1.0, 2.0, 1.0), (3.0, 10.0, 3.0))
+        )
+        anchors = jnp.zeros((2, 3))
+        gt = jnp.asarray(
+            [[0.2, 0.1, 0.0, 1.1, 2.2, 1.05, 0.3],
+             [0.2, 0.1, 0.0, 3.3, 11.0, 3.15, 0.3]]
+        )
+        cls_ids = jnp.asarray([0, 1])
+        t = encode_bin_targets(anchors, gt, cfg, class_ids=cls_ids)
+        # residuals are relative to the per-class mean
+        np.testing.assert_allclose(
+            np.asarray(t["size_res"][0]), [0.1, 0.1, 0.05], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(t["size_res"][1]), [0.1, 0.1, 0.05], atol=1e-6
+        )
+
+    def test_refined_decode_roundtrip(self):
+        """Perfect logits/residuals for a canonical-frame target must decode
+        to the original lidar-frame box through decode_refined_boxes."""
+        from lyft3d_tpu.ops.bin_coder import (
+            BinCoderConfig,
+            decode_refined_boxes,
+            encode_bin_targets,
+        )
+
+        cfg = BinCoderConfig(loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9)
+        roi = jnp.asarray([[5.0, -2.0, 1.0, 2.0, 4.5, 1.8, 0.7]])
+        gt = jnp.asarray([[5.4, -1.7, 1.2, 1.9, 4.7, 1.7, 0.9]])
+        # canonical-frame gt relative to roi
+        rel = gt[:, :3] - roi[:, :3]
+        c, s = jnp.cos(-roi[:, 6]), jnp.sin(-roi[:, 6])
+        canon_gt = jnp.concatenate(
+            [
+                jnp.stack(
+                    [c * rel[:, 0] - s * rel[:, 1],
+                     s * rel[:, 0] + c * rel[:, 1],
+                     rel[:, 2]], -1
+                ),
+                gt[:, 3:6],
+                (gt[:, 6] - roi[:, 6])[:, None],
+            ],
+            axis=-1,
+        )
+        t = encode_bin_targets(jnp.zeros((1, 3)), canon_gt, cfg)
+        sl = cfg.slices()
+        # build ideal logits: one-hot bins (large margin), exact residuals
+        x = np.zeros(cfg.channels, np.float32)
+        x[sl["x_bin"]][int(t["x_bin"][0])] = 10.0
+        x[sl["y_bin"]][int(t["y_bin"][0])] = 10.0
+        x[sl["x_res"]][int(t["x_bin"][0])] = float(t["x_res"][0])
+        x[sl["y_res"]][int(t["y_bin"][0])] = float(t["y_res"][0])
+        x[sl["head_bin"]][int(t["head_bin"][0])] = 10.0
+        x[sl["head_res"]][int(t["head_bin"][0])] = float(t["head_res"][0])
+        x[sl["z_res"]] = float(t["z_res"][0])
+        x[sl["size_res"]] = np.asarray(t["size_res"][0])
+        refined = decode_refined_boxes(roi, jnp.asarray(x)[None, :], cfg)
+        got = np.asarray(refined[0])
+        want = np.asarray(gt[0])
+        np.testing.assert_allclose(got[:6], want[:6], atol=1e-5)
+        # yaw modulo 2pi
+        dy = (got[6] - want[6] + np.pi) % (2 * np.pi) - np.pi
+        assert abs(dy) < 1e-5
