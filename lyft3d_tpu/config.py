@@ -107,7 +107,12 @@ def load_yaml(cls, path):
 
 
 def apply_overrides(cfg, overrides: List[str]):
-    """``a.b.c=value`` dotted overrides (cfg_from_list capability)."""
+    """``a.b.c=value`` dotted overrides (cfg_from_list capability).
+
+    Unknown keys are rejected (typo protection) EXCEPT below free-form
+    ``Dict`` fields (e.g. ``model_kwargs.norm_type=batch``), where new keys
+    are legitimate.
+    """
     data = to_dict(cfg)
     for ov in overrides:
         key, _, raw = ov.partition("=")
@@ -117,11 +122,20 @@ def apply_overrides(cfg, overrides: List[str]):
             value = raw
         node = data
         parts = key.strip().split(".")
+        # Free-form once the live-config walk crosses an actual dict field.
+        live = cfg
+        freeform = False
         for p in parts[:-1]:
-            node = node[p]
-        if parts[-1] not in node:
+            if isinstance(live, dict):
+                freeform = True
+                live = live.get(p)
+            elif live is not None and hasattr(live, p):
+                live = getattr(live, p)
+                freeform = freeform or isinstance(live, dict)
+            node = node.setdefault(p, {}) if freeform else node[p]
+        if parts[-1] not in node and not freeform:
             raise KeyError(f"unknown override key: {key}")
-        old = node[parts[-1]]
+        old = node.get(parts[-1])
         if isinstance(value, str) and not isinstance(old, str) and old is not None:
             # Non-JSON text like `(1,2)` silently becomes a string and fails
             # deep inside jit — catch it at the CLI boundary instead.

@@ -18,11 +18,15 @@ import numpy as np
 def quat_normalize(q: np.ndarray) -> np.ndarray:
     """Return the unit quaternion along ``q``; identity for a zero quaternion."""
     q = np.asarray(q, dtype=np.float64)
-    n = np.linalg.norm(q, axis=-1, keepdims=True)
-    safe = np.where(n == 0.0, 1.0, n)
-    out = q / safe
-    if np.any(n == 0.0):
-        out = np.where(n == 0.0, np.array([1.0, 0.0, 0.0, 0.0]), out)
+    # Pre-scale by max |component| so the sum of squares never under/overflows
+    # (e.g. [0,0,0,2e-161]**2 is a denormal whose sqrt loses ~1e-3 accuracy).
+    m = np.max(np.abs(q), axis=-1, keepdims=True)
+    safe_m = np.where(m == 0.0, 1.0, m)
+    qs = q / safe_m
+    n = np.linalg.norm(qs, axis=-1, keepdims=True)  # in [1, 2] when m > 0
+    out = qs / np.where(n == 0.0, 1.0, n)
+    if np.any(m == 0.0):
+        out = np.where(m == 0.0, np.array([1.0, 0.0, 0.0, 0.0]), out)
     return out
 
 

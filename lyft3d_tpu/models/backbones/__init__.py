@@ -6,6 +6,12 @@ efficientnet) — rebuilt as flax modules. No ImageNet weights are shipped
 (the reference pulls torch hub URLs; this environment is zero-egress), so
 stems natively accept arbitrary input channels (the reference instead grafts
 6-channel stems onto 3-channel pretrained weights, unet.py:35-51).
+
+``norm_type`` ("group" | "batch" | "folded", see ``layers.ConvNormAct``) is
+threaded through the seresnext / resnet / wide_resnet / dpn trunks; the
+xception / inception / efficientnet families keep GroupNorm inside their
+separable/MBConv blocks (no torch importer exists for them, so the
+function-preserving-BN path does not apply).
 """
 
 from lyft3d_tpu.models.backbones.resnet import ResNet, resnet18, resnet34, resnet50

@@ -21,6 +21,7 @@ class DualPathBlock(nn.Module):
     dense_inc: int  # dense-path growth per block
     groups: int = 32
     strides: int = 1
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -28,10 +29,10 @@ class DualPathBlock(nn.Module):
         res, dense = state  # residual tensor, dense tensor (may be None)
         x = res if dense is None else jnp.concatenate([res, dense], axis=-1)
         inner = self.res_features // 2
-        y = ConvNormAct(inner, kernel=1, dtype=self.dtype)(x)
-        y = ConvNormAct(inner, strides=self.strides, groups=self.groups, dtype=self.dtype)(y)
+        y = ConvNormAct(inner, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        y = ConvNormAct(inner, strides=self.strides, groups=self.groups, dtype=self.dtype, norm_type=self.norm_type)(y)
         y = ConvNormAct(
-            self.res_features + self.dense_inc, kernel=1, act=False, dtype=self.dtype
+            self.res_features + self.dense_inc, kernel=1, act=False, dtype=self.dtype, norm_type=self.norm_type
         )(y)
         y_res, y_dense = y[..., : self.res_features], y[..., self.res_features :]
 
@@ -41,7 +42,7 @@ class DualPathBlock(nn.Module):
                 kernel=1,
                 strides=self.strides,
                 act=False,
-                dtype=self.dtype,
+                dtype=self.dtype, norm_type=self.norm_type,
             )(x)
             res = proj[..., : self.res_features]
             dense = proj[..., self.res_features :]
@@ -55,12 +56,13 @@ class DPN(nn.Module):
     res_features: Sequence[int] = (64, 128, 256, 512)
     dense_inc: Sequence[int] = (16, 32, 32, 64)
     groups: int = 32
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = ConvNormAct(10 * self.groups // 32 + 54, kernel=3, strides=2, dtype=self.dtype)(x)
+        x = ConvNormAct(10 * self.groups // 32 + 54, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         feats = []
         state = (x, None)
@@ -72,7 +74,7 @@ class DPN(nn.Module):
                     self.dense_inc[si],
                     groups=self.groups,
                     strides=strides,
-                    dtype=self.dtype,
+                    dtype=self.dtype, norm_type=self.norm_type,
                 )(state)
             res, dense = state
             feats.append(jnp.concatenate([res, dense], axis=-1))

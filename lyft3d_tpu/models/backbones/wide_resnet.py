@@ -22,18 +22,19 @@ class WideBlock(nn.Module):
     features: Tuple[int, int]  # (inner, out)
     strides: int = 1
     dilation: int = 1
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         inner, out = self.features
         y = ConvNormAct(inner, strides=self.strides, dilation=self.dilation,
-                        dtype=self.dtype)(x)
-        y = ConvNormAct(inner, dilation=self.dilation, dtype=self.dtype)(y)
-        y = ConvNormAct(out, kernel=1, act=False, dtype=self.dtype)(y)
+                        dtype=self.dtype, norm_type=self.norm_type)(x)
+        y = ConvNormAct(inner, dilation=self.dilation, dtype=self.dtype, norm_type=self.norm_type)(y)
+        y = ConvNormAct(out, kernel=1, act=False, dtype=self.dtype, norm_type=self.norm_type)(y)
         if x.shape[-1] != out or self.strides != 1:
             x = ConvNormAct(out, kernel=1, strides=self.strides, act=False,
-                            dtype=self.dtype)(x)
+                            dtype=self.dtype, norm_type=self.norm_type)(x)
         return nn.relu(x + y)
 
 
@@ -43,13 +44,14 @@ class WideResNet38(nn.Module):
         (128, 256), (256, 512), (512, 1024), (1024, 2048),
     )
     output_stride: int = 32
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = ConvNormAct(64, kernel=3, strides=2, dtype=self.dtype)(x)
-        x = ConvNormAct(64, kernel=3, dtype=self.dtype)(x)
+        x = ConvNormAct(64, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         dilations = {32: (1, 1, 1, 1), 16: (1, 1, 1, 2), 8: (1, 1, 2, 4)}[self.output_stride]
         feats = []
@@ -57,7 +59,7 @@ class WideResNet38(nn.Module):
             dil = dilations[si]
             for bi in range(n_blocks):
                 strides = 2 if (si > 0 and bi == 0 and dil == 1) else 1
-                x = WideBlock(f, strides=strides, dilation=dil, dtype=self.dtype)(x)
+                x = WideBlock(f, strides=strides, dilation=dil, dtype=self.dtype, norm_type=self.norm_type)(x)
             feats.append(x)
         return tuple(feats)
 

@@ -21,6 +21,7 @@ from lyft3d_tpu.models.layers import ConvNormAct, _num_groups
 class SeparableConv(nn.Module):
     features: int
     strides: int = 1
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -38,6 +39,7 @@ class XceptionBlock(nn.Module):
     features: int
     strides: int = 1
     reps: int = 2
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -48,35 +50,36 @@ class XceptionBlock(nn.Module):
             y = nn.relu(y)
             y = SeparableConv(self.features,
                               strides=self.strides if i == self.reps - 1 else 1,
-                              dtype=self.dtype)(y)
+                              dtype=self.dtype, norm_type=self.norm_type)(y)
         if skip.shape[-1] != self.features or self.strides != 1:
             skip = ConvNormAct(self.features, kernel=1, strides=self.strides,
-                               act=False, dtype=self.dtype)(skip)
+                               act=False, dtype=self.dtype, norm_type=self.norm_type)(skip)
         return y + skip
 
 
 class Xception(nn.Module):
     stage_features: Sequence[int] = (128, 256, 728, 1024)
     middle_reps: int = 4  # reference middle flow has 8; 4 keeps it light
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype)(x)
-        x = ConvNormAct(64, kernel=3, dtype=self.dtype)(x)
+        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(x)
         feats = []
         f1, f2, f3, f4 = self.stage_features
-        x = XceptionBlock(f1, strides=2, dtype=self.dtype)(x)
+        x = XceptionBlock(f1, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
         feats.append(x)  # /4
-        x = XceptionBlock(f2, strides=2, dtype=self.dtype)(x)
+        x = XceptionBlock(f2, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
         feats.append(x)  # /8
-        x = XceptionBlock(f3, strides=2, dtype=self.dtype)(x)
+        x = XceptionBlock(f3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
         for _ in range(self.middle_reps):  # middle flow
-            x = XceptionBlock(f3, strides=1, reps=3, dtype=self.dtype)(x)
+            x = XceptionBlock(f3, strides=1, reps=3, dtype=self.dtype, norm_type=self.norm_type)(x)
         feats.append(x)  # /16
-        x = XceptionBlock(f4, strides=2, dtype=self.dtype)(x)
-        x = nn.relu(SeparableConv(f4 * 2, dtype=self.dtype)(x))
+        x = XceptionBlock(f4, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = nn.relu(SeparableConv(f4 * 2, dtype=self.dtype, norm_type=self.norm_type)(x))
         feats.append(x)  # /32
         return tuple(feats)
 
@@ -86,37 +89,39 @@ class InceptionMix(nn.Module):
     style block A, compacted)."""
 
     features: int
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         f = self.features // 4
-        b1 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
-        b2 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
-        b2 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b2)
-        b3 = ConvNormAct(f, kernel=1, dtype=self.dtype)(x)
-        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b3)
-        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype)(b3)
+        b1 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b2 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b2 = ConvNormAct(f, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b2)
+        b3 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b3)
+        b3 = ConvNormAct(f, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b3)
         b4 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b4 = ConvNormAct(f, kernel=1, dtype=self.dtype)(b4)
+        b4 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(b4)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
 class InceptionV4(nn.Module):
     stage_features: Sequence[int] = (96, 192, 384, 1024)
     blocks_per_stage: Sequence[int] = (1, 2, 3, 2)
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype)(x)
-        x = ConvNormAct(64, kernel=3, dtype=self.dtype)(x)
+        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(x)
         feats = []
         for f, n in zip(self.stage_features, self.blocks_per_stage):
-            x = ConvNormAct(f, kernel=3, strides=2, dtype=self.dtype)(x)
+            x = ConvNormAct(f, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
             for _ in range(n):
-                x = InceptionMix(f, dtype=self.dtype)(x)
+                x = InceptionMix(f, dtype=self.dtype, norm_type=self.norm_type)(x)
             feats.append(x)
         return tuple(feats)
 

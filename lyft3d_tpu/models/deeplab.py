@@ -29,6 +29,7 @@ class DeepLabV3Plus(nn.Module):
     aspp_features: int = 256
     low_features: int = 48
     output_stride: int = 8
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -36,21 +37,26 @@ class DeepLabV3Plus(nn.Module):
         in_hw = x.shape[1:3]
         x = x.astype(self.dtype)
         feats = build_backbone(
-            self.backbone, output_stride=self.output_stride, dtype=self.dtype
+            self.backbone, output_stride=self.output_stride, dtype=self.dtype,
+            norm_type=self.norm_type,
         )(x)
         low = feats[0]  # /4 (the m1 skip, deepv3.py:155-160)
         high = feats[3]  # /8 after surgery
 
-        a = ASPP(self.aspp_features, rates=(6, 12, 18), dtype=self.dtype)(high)
+        a = ASPP(self.aspp_features, rates=(6, 12, 18), dtype=self.dtype,
+                 norm_type=self.norm_type)(high)
         aux = nn.Dense(self.n_classes, dtype=jnp.float32)(
             jnp.mean(a, axis=(1, 2)).astype(jnp.float32)
         )
 
         a = resize_to(a, low.shape[1:3])
-        low = ConvNormAct(self.low_features, kernel=1, dtype=self.dtype)(low)
+        low = ConvNormAct(self.low_features, kernel=1, dtype=self.dtype,
+                          norm_type=self.norm_type)(low)
         d = jnp.concatenate([a, low], axis=-1)
-        d = ConvNormAct(self.aspp_features, dtype=self.dtype)(d)
-        d = ConvNormAct(self.aspp_features, dtype=self.dtype)(d)
+        d = ConvNormAct(self.aspp_features, dtype=self.dtype,
+                        norm_type=self.norm_type)(d)
+        d = ConvNormAct(self.aspp_features, dtype=self.dtype,
+                        norm_type=self.norm_type)(d)
         # 1x1 conv commutes with bilinear resize — logits at /4 then
         # upsample n_classes channels (exact, far less resize traffic).
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(d)

@@ -2,9 +2,14 @@
 
 Capability of the reference's ``unet_baseline/models/utils.py`` (SEModule:43,
 UpBlock:81) and ``models/Aspp.py`` (ASPP:31-70) — TPU-first choices:
-NHWC layout, GroupNorm instead of BatchNorm (keeps the train step a pure
-function — no mutable batch_stats collection), bfloat16 compute with float32
-params, nearest/bilinear resize via ``jax.image``.
+NHWC layout, bfloat16 compute with float32 params, nearest/bilinear resize
+via ``jax.image``. Normalization is selectable (``ConvNormAct.norm_type``):
+GroupNorm by default (pure-function train step), BatchNorm with running
+stats for reference parity / function-preserving torch import, and a
+"folded" conv+bias inference structure fed by
+``models.fold_bn.fold_batch_norms`` (the BN-folds-into-conv win).
+Convs use torch-style symmetric padding (same shapes as "SAME" for odd
+kernels; required for import exactness at stride 2).
 """
 
 from __future__ import annotations
@@ -58,6 +63,7 @@ class PackedGroupedConv(nn.Module):
     kernel_dilation: Tuple[int, int] = (1, 1)
     feature_group_count: int = 1
     use_bias: bool = False
+    padding: str | tuple = "SAME"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -91,7 +97,7 @@ class PackedGroupedConv(nn.Module):
             x.astype(self.dtype),
             kd,
             window_strides=self.strides,
-            padding="SAME",
+            padding=self.padding,
             rhs_dilation=self.kernel_dilation,
             feature_group_count=fgc,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -134,6 +140,12 @@ class ConvNormAct(nn.Module):
     def __call__(self, x):
         has_norm_op = self.norm and self.norm_type != "folded"
         use_bias = (not self.norm) or self.norm_type == "folded"
+        # Torch-style SYMMETRIC padding (⌊k/2⌋·dilation each side). For odd
+        # kernels the output shape equals "SAME" at every stride, but the
+        # alignment matches torch's — required for the function-preserving
+        # torch-checkpoint import ("SAME" pads asymmetrically at stride 2).
+        pad = self.dilation * (self.kernel - 1) // 2
+        padding = ((pad, pad), (pad, pad))
         pack = self.groups > 1 and (
             self.pack_groups == "always"
             or (
@@ -152,6 +164,7 @@ class ConvNormAct(nn.Module):
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
                 use_bias=use_bias,
+                padding=padding,
                 dtype=self.dtype,
                 name="Conv_0",  # same param path as the nn.Conv branch
             )(x)
@@ -162,7 +175,7 @@ class ConvNormAct(nn.Module):
                 strides=(self.strides, self.strides),
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
-                padding="SAME",
+                padding=padding,
                 use_bias=use_bias,
                 dtype=self.dtype,
                 name="Conv_0",
@@ -215,21 +228,23 @@ class ASPP(nn.Module):
 
     features: int = 256
     rates: Sequence[int] = (6, 12, 18)
+    norm_type: str = "group"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         n, h, w, _ = x.shape
-        branches = [ConvNormAct(self.features, kernel=1, dtype=self.dtype)(x)]
+        cna = lambda **kw: ConvNormAct(
+            self.features, norm_type=self.norm_type, dtype=self.dtype, **kw
+        )
+        branches = [cna(kernel=1)(x)]
         for r in self.rates:
-            branches.append(
-                ConvNormAct(self.features, kernel=3, dilation=r, dtype=self.dtype)(x)
-            )
+            branches.append(cna(kernel=3, dilation=r)(x))
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = ConvNormAct(self.features, kernel=1, dtype=self.dtype)(pooled)
+        pooled = cna(kernel=1)(pooled)
         branches.append(jnp.broadcast_to(pooled, (n, h, w, self.features)))
         x = jnp.concatenate(branches, axis=-1)
-        return ConvNormAct(self.features, kernel=1, dtype=self.dtype)(x)
+        return cna(kernel=1)(x)
 
 
 class UpBlock(nn.Module):
@@ -237,6 +252,7 @@ class UpBlock(nn.Module):
     (models/utils.py:81-106)."""
 
     features: int
+    norm_type: str = "group"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -246,6 +262,6 @@ class UpBlock(nn.Module):
             if skip.shape[1:3] != x.shape[1:3]:
                 x = resize_to(x, skip.shape[1:3])
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvNormAct(self.features, dtype=self.dtype)(x)
-        x = ConvNormAct(self.features, dtype=self.dtype)(x)
+        x = ConvNormAct(self.features, norm_type=self.norm_type, dtype=self.dtype)(x)
+        x = ConvNormAct(self.features, norm_type=self.norm_type, dtype=self.dtype)(x)
         return SEModule(dtype=self.dtype)(x)

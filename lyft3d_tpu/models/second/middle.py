@@ -21,15 +21,22 @@ from lyft3d_tpu.ops.sparse_conv import (
     downsample_coords,
     kernel_offsets,
     sparse_conv3d_gather,
-    subm_conv3d_gather,
 )
 
 
 class SubMConvLayer(nn.Module):
-    """Submanifold sparse conv + LayerNorm + ReLU (SubMConv3d+BN+ReLU)."""
+    """Submanifold sparse conv + LayerNorm + ReLU (SubMConv3d+BN+ReLU).
+
+    ``fused="pallas"`` routes the gather+contraction through the fused
+    VMEM-resident kernel (``ops.subm_conv_kernel`` — no (K, V, C) HBM
+    materialization); "xla" is the gather+einsum formulation; "auto"
+    currently selects xla pending on-chip A/B (flip after measuring with
+    scripts/microbench_subm.py).
+    """
 
     features: int
     kernel_size: int = 3
+    fused: str = "auto"  # "auto" | "pallas" | "xla"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -44,18 +51,25 @@ class SubMConvLayer(nn.Module):
             (k, cin, self.features),
             jnp.float32,
         ).astype(self.dtype)
-        if neighbors is not None:
-            # Precomputed per-stage sorted-order neighbor ranks — both subm
-            # layers of a stage share them (one merge-sort per stage).
-            gathered = gather_by_rank(features, hash_[1], neighbors)
+        if neighbors is None:
+            from lyft3d_tpu.ops.sparse_conv import subm_neighbors
+
+            neighbors = subm_neighbors(
+                active, hash_, kernel_offsets(self.kernel_size)
+            )
+        if self.fused == "pallas":
+            from lyft3d_tpu.ops.subm_conv_kernel import subm_conv_pallas
+
+            # ranks index SORTED order; the ranks' V axis is active-list
+            # (query) order, so the kernel output needs no un-permute.
+            f_sorted = features[hash_[1]].astype(self.dtype)
+            out = subm_conv_pallas(f_sorted, neighbors, w)
         else:
-            gathered = subm_conv3d_gather(
-                features, active, hash_, kernel_offsets(self.kernel_size)
-            )  # (K, V, C)
-        out = jnp.einsum(
-            "kvc,kcd->vd", gathered.astype(self.dtype), w,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+            gathered = gather_by_rank(features, hash_[1], neighbors)
+            out = jnp.einsum(
+                "kvc,kcd->vd", gathered.astype(self.dtype), w,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         out = nn.LayerNorm(dtype=self.dtype)(out)
         out = nn.relu(out) * active.valid[:, None].astype(self.dtype)
         return out
@@ -126,6 +140,7 @@ class SparseMiddle(nn.Module):
     stage_max_voxels: Sequence[int] = (8192, 4096, 2048)
     subm_per_stage: int = 2
     strides: Sequence[Tuple[int, int, int]] = ((2, 2, 2), (2, 2, 2), (2, 2, 2))
+    fused: str = "auto"  # subm layers: "auto" | "pallas" | "xla"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -139,7 +154,7 @@ class SparseMiddle(nn.Module):
             # this active set.
             neighbors = subm_neighbors(active, hash_, kernel_offsets(3))
             for _ in range(self.subm_per_stage):
-                x = SubMConvLayer(f, dtype=self.dtype)(
+                x = SubMConvLayer(f, fused=self.fused, dtype=self.dtype)(
                     x, active, hash_, neighbors=neighbors
                 )
             x, active = SparseConvLayer(

@@ -32,6 +32,7 @@ class ReferenceUNet(nn.Module):
     n_classes: int = 10
     wf: int = 5  # first stage has 2**wf features
     depth: int = 4
+    norm_type: str = "group"  # "group" | "batch" | "folded" (see ConvNormAct)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -40,13 +41,13 @@ class ReferenceUNet(nn.Module):
         skips = []
         for d in range(self.depth):
             f = 2 ** (self.wf + d)
-            x = ConvNormAct(f, dtype=self.dtype)(x)
-            x = ConvNormAct(f, dtype=self.dtype)(x)
+            x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
+            x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         f = 2 ** (self.wf + self.depth)
-        x = ConvNormAct(f, dtype=self.dtype)(x)
-        x = ConvNormAct(f, dtype=self.dtype)(x)
+        x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
         for d in reversed(range(self.depth)):
             f = 2 ** (self.wf + d)
             x = upsample2x(x)
@@ -54,8 +55,8 @@ class ReferenceUNet(nn.Module):
             if skip.shape[1:3] != x.shape[1:3]:
                 x = resize_to(x, skip.shape[1:3])
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvNormAct(f, dtype=self.dtype)(x)
-            x = ConvNormAct(f, dtype=self.dtype)(x)
+            x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
+            x = ConvNormAct(f, dtype=self.dtype, norm_type=self.norm_type)(x)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(x)
         aux = jnp.mean(logits, axis=(1, 2))
         return logits, aux
@@ -70,13 +71,14 @@ class LyftUNet(nn.Module):
     # ``self.planes = [c // 4 for c in stage_channels]``, unet.py:33 — so
     # skip widths vary by backbone); 0 = fixed ``decoder_features`` width.
     skip_reduction: int = 4
+    norm_type: str = "group"  # "group" | "batch" | "folded" (see ConvNormAct)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         in_hw = x.shape[1:3]
         x = x.astype(self.dtype)
-        feats = build_backbone(self.backbone, dtype=self.dtype)(x)  # /4 /8 /16 /32
+        feats = build_backbone(self.backbone, dtype=self.dtype, norm_type=self.norm_type)(x)  # /4 /8 /16 /32
 
         # 1x1 channel reductions of the skips (down1..4, unet.py:52-58).
         def skip_width(f):
@@ -85,11 +87,12 @@ class LyftUNet(nn.Module):
             return max(f.shape[-1] // self.skip_reduction, self.decoder_features)
 
         skips = [
-            ConvNormAct(skip_width(f), kernel=1, dtype=self.dtype)(f)
+            ConvNormAct(skip_width(f), kernel=1, dtype=self.dtype,
+                        norm_type=self.norm_type)(f)
             for f in feats[:3]
         ]
 
-        center = ASPP(self.aspp_features, dtype=self.dtype)(feats[3])
+        center = ASPP(self.aspp_features, dtype=self.dtype, norm_type=self.norm_type)(feats[3])
         # Auxiliary image-level head off the center (fc head, unet.py:86-92).
         aux = nn.Dense(self.n_classes, dtype=jnp.float32)(
             jnp.mean(center, axis=(1, 2)).astype(jnp.float32)
@@ -98,9 +101,11 @@ class LyftUNet(nn.Module):
         d = center
         decoder_outs = []
         for skip in reversed(skips):  # /32→/16→/8→/4
-            d = UpBlock(self.decoder_features, dtype=self.dtype)(d, skip)
+            d = UpBlock(self.decoder_features, dtype=self.dtype,
+                        norm_type=self.norm_type)(d, skip)
             decoder_outs.append(d)
-        d = UpBlock(self.decoder_features, dtype=self.dtype)(d, None)  # /2
+        d = UpBlock(self.decoder_features, dtype=self.dtype,
+                        norm_type=self.norm_type)(d, None)  # /2
         decoder_outs.append(d)
 
         # Hypercolumn: every decoder stage upsampled to /2 res and concatenated
@@ -108,7 +113,8 @@ class LyftUNet(nn.Module):
         hyper = jnp.concatenate(
             [resize_to(o, d.shape[1:3]) for o in decoder_outs], axis=-1
         )
-        h = ConvNormAct(self.decoder_features, dtype=self.dtype)(hyper)
+        h = ConvNormAct(self.decoder_features, dtype=self.dtype,
+                        norm_type=self.norm_type)(hyper)
         # 1x1 conv commutes with bilinear resize (both linear, channel
         # mixing is pointwise): produce logits at /2 and upsample 10
         # channels instead of 64 — exact same function, 6x less resize

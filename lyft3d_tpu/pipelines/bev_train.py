@@ -70,13 +70,37 @@ def train_bev(
         opt.name, opt.lr, total_steps=opt.total_steps, weight_decay=opt.weight_decay,
         clip_norm=opt.clip_norm, grad_accum=opt.grad_accum,
     )
+    has_bn = "batch_stats" in params
+    if has_bn:
+        import optax
+
+        # BatchNorm models: the optimizer must not touch the running stats
+        # (zero grads, but weight decay would still shrink them); the train
+        # step refreshes them via the _model_state convention instead.
+        mask = {
+            "params": jax.tree_util.tree_map(lambda _: True, params["params"]),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda _: False, params["batch_stats"]
+            ),
+        }
+        tx = optax.masked(tx, mask)
     class_weights = jnp.asarray(cfg.class_weights)
 
     def loss_fn(model, params, batch, rng):
-        logits, aux = model.apply(params, batch["image"])
+        if has_bn:
+            (logits, aux), new_state = model.apply(
+                params, batch["image"], mutable=["batch_stats"]
+            )
+        else:
+            logits, aux = model.apply(params, batch["image"])
         total, comps = bev_segmentation_loss(
             logits, aux, batch["label"], class_weights, cfg.size_weight
         )
+        if has_bn:
+            comps = dict(
+                comps,
+                _model_state=jax.lax.stop_gradient(new_state["batch_stats"]),
+            )
         return total, comps
 
     mesh = make_data_mesh(cfg.batch_size, n_devices)

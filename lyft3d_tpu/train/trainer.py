@@ -85,6 +85,13 @@ class Trainer:
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
+            # Mutable-collection convention: a loss_fn that runs BatchNorm
+            # in train mode returns the refreshed running stats under this
+            # reserved key; they replace the batch_stats subtree (the
+            # optimizer is masked off it by the pipeline — see bev_train).
+            new_model_state = metrics.pop("_model_state", None)
+            if new_model_state is not None:
+                params = dict(params, batch_stats=new_model_state)
             metrics["loss"] = loss
             metrics["grad_norm"] = optax.global_norm(grads)
             return (

@@ -114,24 +114,69 @@ def inflate_input_channels(kernel: np.ndarray, in_channels: int) -> np.ndarray:
     return tiled * (orig / in_channels)
 
 
-def _conv_norm_act(sd, conv_name: str, bn_name: str, in_channels: int | None = None):
+def _conv_norm_act(sd, conv_name: str, bn_name: str,
+                   in_channels: int | None = None, norm_type: str = "group"):
+    """ConvNormAct subtree from torch conv+bn tensors.
+
+    norm_type="group": BN stats folded into the GroupNorm affine
+    (initialization transfer — GN re-normalizes, see module docstring).
+    norm_type="batch": FUNCTION-PRESERVING — γ/β go to the flax BatchNorm
+    params and running mean/var ride along under the reserved
+    ``__batch_stats__`` key (split into the batch_stats collection by
+    :func:`split_batch_stats`).
+    """
     kernel = conv_kernel(sd[conv_name + ".weight"])
     if in_channels is not None:
         kernel = inflate_input_channels(kernel, in_channels)
+    if norm_type == "batch":
+        return {
+            "Conv_0": {"kernel": kernel},
+            "BatchNorm_0": {
+                "scale": sd[bn_name + ".weight"].astype(np.float32),
+                "bias": sd[bn_name + ".bias"].astype(np.float32),
+                "__batch_stats__": {
+                    "mean": sd[bn_name + ".running_mean"].astype(np.float32),
+                    "var": sd[bn_name + ".running_var"].astype(np.float32),
+                },
+            },
+        }
     return {
         "Conv_0": {"kernel": kernel},
         "GroupNorm_0": fold_bn(sd, bn_name),
     }
 
 
+def split_batch_stats(tree):
+    """Split a converted tree into (params, batch_stats) by extracting the
+    reserved ``__batch_stats__`` nodes (mirroring the tree structure)."""
+    params, stats = {}, {}
+    for k, v in tree.items():
+        if not isinstance(v, dict):
+            params[k] = v
+            continue
+        if "__batch_stats__" in v:
+            rest = {kk: vv for kk, vv in v.items() if kk != "__batch_stats__"}
+            p, s = split_batch_stats(rest)
+            params[k] = p
+            stats[k] = dict(v["__batch_stats__"], **s) if s else v["__batch_stats__"]
+        else:
+            p, s = split_batch_stats(v)
+            params[k] = p
+            if s:
+                stats[k] = s
+    return params, stats
+
+
 def seresnext_params_from_torch(
     sd: Mapping[str, np.ndarray],
     stage_sizes: Sequence[int] = (3, 4, 23, 3),
     in_channels: int = 6,
+    norm_type: str = "group",
 ) -> Dict[str, Any]:
     """Map a Cadene-senet state_dict onto the ``SEResNeXt`` flax subtree."""
+    cna = lambda *a, **kw: _conv_norm_act(sd, *a, norm_type=norm_type, **kw)
     tree: Dict[str, Any] = {
-        "ConvNormAct_0": _conv_norm_act(sd, "layer0.conv1", "layer0.bn1", in_channels)
+        "ConvNormAct_0": cna("layer0.conv1", "layer0.bn1", in_channels)
     }
     block_idx = 0
     for si, n_blocks in enumerate(stage_sizes):
@@ -143,9 +188,9 @@ def seresnext_params_from_torch(
                 block_idx += 1
                 continue
             blk: Dict[str, Any] = {
-                "ConvNormAct_0": _conv_norm_act(sd, p + ".conv1", p + ".bn1"),
-                "ConvNormAct_1": _conv_norm_act(sd, p + ".conv2", p + ".bn2"),
-                "ConvNormAct_2": _conv_norm_act(sd, p + ".conv3", p + ".bn3"),
+                "ConvNormAct_0": cna(p + ".conv1", p + ".bn1"),
+                "ConvNormAct_1": cna(p + ".conv2", p + ".bn2"),
+                "ConvNormAct_2": cna(p + ".conv3", p + ".bn3"),
                 "SEModule_0": {
                     "Dense_0": {
                         "kernel": dense_kernel(sd[p + ".se_module.fc1.weight"]),
@@ -158,9 +203,7 @@ def seresnext_params_from_torch(
                 },
             }
             if p + ".downsample.0.weight" in sd:
-                blk["ConvNormAct_3"] = _conv_norm_act(
-                    sd, p + ".downsample.0", p + ".downsample.1"
-                )
+                blk["ConvNormAct_3"] = cna(p + ".downsample.0", p + ".downsample.1")
             tree[f"SEResNeXtBlock_{block_idx}"] = blk
             block_idx += 1
     return tree
@@ -171,10 +214,12 @@ def resnet_params_from_torch(
     stage_sizes: Sequence[int] = (3, 4, 6, 3),
     bottleneck: bool = False,
     in_channels: int = 6,
+    norm_type: str = "group",
 ) -> Dict[str, Any]:
     """Map a torchvision-resnet state_dict onto the ``ResNet`` flax subtree."""
+    cna = lambda *a, **kw: _conv_norm_act(sd, *a, norm_type=norm_type, **kw)
     tree: Dict[str, Any] = {
-        "ConvNormAct_0": _conv_norm_act(sd, "conv1", "bn1", in_channels)
+        "ConvNormAct_0": cna("conv1", "bn1", in_channels)
     }
     n_convs = 3 if bottleneck else 2
     block_cls = "Bottleneck" if bottleneck else "BasicBlock"
@@ -187,12 +232,10 @@ def resnet_params_from_torch(
                 continue
             blk: Dict[str, Any] = {}
             for ci in range(n_convs):
-                blk[f"ConvNormAct_{ci}"] = _conv_norm_act(
-                    sd, f"{p}.conv{ci + 1}", f"{p}.bn{ci + 1}"
-                )
+                blk[f"ConvNormAct_{ci}"] = cna(f"{p}.conv{ci + 1}", f"{p}.bn{ci + 1}")
             if p + ".downsample.0.weight" in sd:
-                blk[f"ConvNormAct_{n_convs}"] = _conv_norm_act(
-                    sd, p + ".downsample.0", p + ".downsample.1"
+                blk[f"ConvNormAct_{n_convs}"] = cna(
+                    p + ".downsample.0", p + ".downsample.1"
                 )
             tree[f"{block_cls}_{block_idx}"] = blk
             block_idx += 1
@@ -239,6 +282,7 @@ def load_pretrained_backbone(
     backbone: str,
     in_channels: int = 6,
     verbose: bool = False,
+    norm_type: str = "group",
 ):
     """Return a copy of a model's params with the named backbone's subtree
     replaced by converted torch weights.
@@ -247,6 +291,10 @@ def load_pretrained_backbone(
     model built around one of the zoo backbones (e.g. ``unet_seresnext101``).
     Partial-load semantics match the reference's ``load_pretrain``: only
     shape-matching leaves are replaced.
+
+    With ``norm_type="batch"`` (the model built with the same option) the
+    conversion is FUNCTION-PRESERVING: BN γ/β load into the flax BatchNorm
+    params and running mean/var into the ``batch_stats`` collection.
     """
     import jax
     from flax.core import unfreeze
@@ -257,7 +305,9 @@ def load_pretrained_backbone(
             f"supported: {sorted(_BACKBONE_SPECS)}"
         )
     sub_name, fn, kw = _BACKBONE_SPECS[backbone]
-    converted = fn(normalize_state_dict(state_dict), in_channels=in_channels, **kw)
+    converted = fn(normalize_state_dict(state_dict), in_channels=in_channels,
+                   norm_type=norm_type, **kw)
+    converted, conv_stats = split_batch_stats(converted)
 
     def find(tree, name):
         if name in tree:
@@ -278,6 +328,11 @@ def load_pretrained_backbone(
         raise KeyError(f"backbone subtree {sub_name!r} not found in params")
     report: list = []
     _merge(target, converted, sub_name, report)
+    if conv_stats and "batch_stats" in new_params:
+        stats_target = find(new_params["batch_stats"], sub_name)
+        if stats_target is None:
+            raise KeyError(f"batch_stats subtree {sub_name!r} not found")
+        _merge(stats_target, conv_stats, sub_name + ":stats", report)
     loaded = sum(1 for s, _ in report if s == "loaded")
     skipped = [w for s, w in report if s != "loaded"]
     if verbose or skipped:

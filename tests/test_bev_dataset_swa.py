@@ -1,5 +1,6 @@
 """Offline BEV dataset generation/loading, SWA, profiler, progress tests."""
 
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -134,3 +135,5 @@ class TestUtils:
         with simple_timer("op"):
             pass
         assert "op elapsed" in capsys.readouterr().out
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

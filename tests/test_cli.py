@@ -1,5 +1,6 @@
 """CLI smoke tests driving the full user surface on synthetic data."""
 
+
 import json
 import sys
 
@@ -77,3 +78,5 @@ class TestRunExperiments:
         assert [r["status"] for r in recs] == ["failed", "ok"]
         assert recs[1]["steps"] == 2
         assert (tmp_path / "run_good" / "checkpoints.json").exists()
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

@@ -7,6 +7,7 @@ IoU 0.5. This validates rasterization, component extraction, the inverse
 pixel→car→world transform, and the metric in one loop.
 """
 
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -122,3 +123,5 @@ class TestModelInLoop:
         assert isinstance(dets, list)  # untrained → any (or zero) detections
         for d in dets:
             assert set(d) >= {"translation", "size", "rotation", "name", "score"}
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

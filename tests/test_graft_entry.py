@@ -3,6 +3,8 @@ actual dryrun_multichip(8) body (not a reimplementation) on the 8-device
 virtual CPU platform the conftest provides — the artifact MULTICHIP_r{N}.json
 records (VERDICT r1 #1)."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,3 +54,5 @@ class TestTensorParallelApply:
         x = shard_batch(mesh, x_host)
         out = np.asarray(jax.jit(model.apply)(tp_params, x))
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

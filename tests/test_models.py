@@ -1,5 +1,6 @@
 """Model-family shape/jit smoke tests (tiny inputs, CPU)."""
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -180,3 +181,5 @@ def test_lyft_unet_backbone_scaled_skip_widths():
     legacy = LyftUNet(backbone="seresnext26", n_classes=4, skip_reduction=0)
     lp = jax.jit(legacy.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)))["params"]
     assert lp["ConvNormAct_2"]["Conv_0"]["kernel"].shape[-1] == 64
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

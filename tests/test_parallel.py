@@ -1,5 +1,6 @@
 """Sharding/mesh tests on the 8-device virtual CPU platform."""
 
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -169,3 +170,5 @@ class TestPointShardedRaster:
             z_offset=-2.0,
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

@@ -1,6 +1,7 @@
 """PointRCNN pipeline tests: KITTI loader, round-robin RPN training, joint
 eval producing KITTI labels + AP frames — on an exported synthetic dataset."""
 
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -347,3 +348,5 @@ class TestPerClassMeanSize:
         # yaw modulo 2pi
         dy = (got[6] - want[6] + np.pi) % (2 * np.pi) - np.pi
         assert abs(dy) < 1e-5
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

@@ -2,6 +2,7 @@
 arrays, the sensor→world eval conversion (oracle mAP = 1), and one train
 step through voxelize→assign→model→loss."""
 
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -217,3 +218,5 @@ class TestAnchorMaskInLoss:
         assert np.isfinite(float(loss))
         assert float(metrics["num_pos"]) >= 1  # objects sit on occupied cells
         assert np.isfinite(float(optax.global_norm(grads)))
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

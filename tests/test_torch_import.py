@@ -6,6 +6,7 @@ checked against torch conv outputs, BN folding against torch eval-mode BN,
 and the full seresnext26 subtree import against the flax param structure.
 """
 
+
 import numpy as np
 import pytest
 
@@ -235,3 +236,5 @@ def test_cli_import_weights(tmp_path):
         "--image-size", "64",
     ])
     assert (out / "unet_seresnext26-0.ckpt").exists()
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)

@@ -1,6 +1,7 @@
 """Training-driver integration tests: train_bev and train_second run a few
 steps end-to-end on synthetic data (checkpoints, logs, config snapshots)."""
 
+
 import json
 
 import numpy as np
@@ -55,6 +56,42 @@ class TestBEVTrainDriver:
         ckpts = list((tmp_path / "run").glob("model-*.ckpt"))
         assert ckpts
 
+    def test_batchnorm_training(self, db, tmp_path):
+        """train_bev with norm_type=batch: stats live in state.params,
+        refresh each step (the _model_state convention) and the masked
+        optimizer never decays them."""
+        import jax
+        import jax.numpy as jnp
+
+        bev_dir = tmp_path / "bev_bn"
+        cfg_small = BEVConfig(shape=(64, 64, 3), voxel_size=(1.0, 1.0, 1.5))
+        generate_bev_dataset(db, bev_dir, cfg_small)
+
+        exp = BEVExperiment(
+            model="unet_reference",
+            model_kwargs={"wf": 3, "depth": 1, "norm_type": "batch"},
+            bev_shape=(64, 64, 3),
+            batch_size=2,
+            optimizer=OptimizerConfig(name="adam", lr=1e-3, grad_accum=1,
+                                      total_steps=3),
+            model_dir=str(tmp_path / "run_bn"),
+        )
+        from lyft3d_tpu.pipelines.bev_train import train_bev
+
+        state, model = train_bev(exp, bev_dir, log_every=2, eval_every=0,
+                                 dtype=jnp.float32)
+        assert int(state.step) == 3
+        assert "batch_stats" in state.params
+        # the running stats moved away from init (mean starts at 0)
+        means = [
+            np.asarray(l)
+            for path, l in jax.tree_util.tree_flatten_with_path(
+                state.params["batch_stats"]
+            )[0]
+            if "mean" in jax.tree_util.keystr(path)
+        ]
+        assert any(np.abs(m).max() > 0 for m in means)
+
     def test_config_presets_load(self):
         bev = load_yaml(BEVExperiment, "configs/bev_seresnext101_map.yaml")
         assert bev.model == "unet_seresnext101"
@@ -72,13 +109,18 @@ class TestBEVTrainDriver:
         )
         assert sec.middle == "sparse" and sec.encoder == "simple"
         vcfg = voxelnet_config_from_experiment(sec)
-        assert vcfg.grid.grid_size == (992, 992, 32)
-        assert vcfg.middle_max_voxels == (24576, 8192, 4096)
-        # ds 8 sparse stack + stride-2 RPN stem → the reference all.fhd's
-        # 62² anchor grid (69k anchors over 9 classes × 2 rotations).
-        assert vcfg.feature_hw == (62, 62)
+        # TRUE FHD geometry (all.fhd.config:4-13): 0.05 m voxels over
+        # ±49.6 m / z [-5, 3], 1 pt/voxel, height-based block filtering.
+        assert vcfg.grid.grid_size == (1984, 1984, 40)
+        assert vcfg.grid.block_filtering and vcfg.grid.height_threshold == 0.2
+        assert vcfg.max_voxels == 60000 and vcfg.max_points_per_voxel == 1
+        assert vcfg.middle_max_voxels == (32768, 16384, 8192)
+        # ds 8 sparse stack (248² BEV) + stride-2 RPN stem + up-concat →
+        # the reference all.fhd's ~124² anchor grid (~276k anchors ≈ the
+        # "~300k" its rpn comment cites, over 9 classes × 2 rotations).
+        assert vcfg.feature_hw == (124, 124)
         anchors, _, _, _ = vcfg.make_anchors()
-        assert anchors.shape[0] == 62 * 62 * 18
+        assert anchors.shape[0] == 124 * 124 * 18
 
 
 class TestSecondTrainDriver:
@@ -127,3 +169,5 @@ class TestSecondTrainDriver:
         )
         assert int(state.step) == 3
         assert (tmp_path / "second_run" / "experiment.yaml").exists()
+
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)
