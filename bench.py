@@ -19,7 +19,9 @@ equivalent of the same model + post-processing) and cached in
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -32,8 +34,66 @@ N_POINTS = 65536  # one Lyft sweep ≈ 62k points
 WARMUP = 2
 ITERS = 4
 
+# The axon TPU tunnel wedges periodically (trivial ops hang for 10-60 min);
+# a wedged section must not eat the driver's whole window and print NOTHING.
+# A watchdog thread emits whatever metrics completed before the budget.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+
+# Partial-result state shared with the watchdog (main() mutates in place).
+RESULT = {
+    "metric": "bev_e2e_sweeps_per_sec_per_chip",
+    "value": None,
+    "unit": "sweeps/s",
+    "vs_baseline": None,
+    "detail": {"progress": "startup"},
+}
+_DONE = threading.Event()
+
+
+def _progress(msg: str) -> None:
+    RESULT["detail"]["progress"] = msg
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _watchdog() -> None:
+    if not _DONE.wait(BUDGET_S):
+        RESULT["detail"]["timeout"] = (
+            f"budget {BUDGET_S:.0f}s exceeded during "
+            f"'{RESULT['detail'].get('progress')}' (wedged TPU tunnel or "
+            "compile blowup); partial metrics reported"
+        )
+        print(json.dumps(RESULT), flush=True)
+        os._exit(0)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compile cache (keyed by host CPU for XLA:CPU AOT safety;
+    TPU entries are program-keyed and safe to share across runs)."""
+    import hashlib
+
+    import jax
+
+    try:
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = [l for l in f if l.startswith("flags")][:1]
+            key = hashlib.sha1("".join(flags).encode()).hexdigest()[:12]
+        except OSError:
+            key = "generic"
+        jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{key}")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # the cache is an optimization; never fail the bench over it
+
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,6 +106,21 @@ def main() -> None:
     cfg = BEVConfig()
     on_tpu = jax.default_backend() == "tpu"
 
+    baseline_file = REPO / "CPU_BASELINE.json"
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())["sweeps_per_sec"]
+    else:
+        baseline = float("nan")
+    RESULT["detail"].update(
+        backend=jax.default_backend(),
+        device=str(jax.devices()[0]),
+        batch=BATCH,
+        points_per_sweep=N_POINTS,
+        model="unet_seresnext101 bf16 336x336x6",
+        cpu_baseline_sweeps_per_sec=baseline if baseline == baseline else None,
+    )
+
+    _progress("flagship seresnext101 e2e: build + compile")
     model = build_model("unet_seresnext101", n_classes=10, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, *cfg.shape[:2], 6), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
@@ -112,10 +187,15 @@ def main() -> None:
 
     # Difference of two loop lengths cancels the constant dispatch/transfer
     # overhead of the tunnel.
+    _progress("flagship seresnext101 e2e: timing")
     t_short = min(timed(2) for _ in range(2))
     t_long = min(timed(2 + ITERS) for _ in range(2))
     dt = max(t_long - t_short, 1e-9)
     sweeps_per_sec = BATCH * ITERS / dt
+    RESULT["value"] = round(sweeps_per_sec, 3)
+    if baseline == baseline:
+        RESULT["vs_baseline"] = round(sweeps_per_sec / baseline, 2)
+    _progress("tpu-optimal resnet50 variant")
 
     # Secondary: the TPU-optimal flagship variant. The reference's
     # seresnext101 uses cardinality-32 grouped convs whose 16-wide group
@@ -163,6 +243,10 @@ def main() -> None:
     t_s50 = min(timed50(2) for _ in range(2))
     t_l50 = min(timed50(2 + ITERS) for _ in range(2))
     sweeps50 = BATCH * ITERS / max(t_l50 - t_s50, 1e-9)
+    RESULT["detail"]["tpu_optimal_variant_unet_resnet50_sweeps_per_sec"] = (
+        round(sweeps50, 3)
+    )
+    _progress("voxelnet pillars e2e")
 
     # Release the BEV section's device buffers before the voxelnet section
     # compiles — with both resident, the 1.1M-anchor predict program pushes
@@ -254,6 +338,10 @@ def main() -> None:
         sweeps_sec_second = round(SEC_BATCH * ITERS / max(t_sl - t_ss, 1e-9), 3)
     except Exception as e:  # relay crash → report, keep the BEV headline
         sec_error = repr(e)[:300]
+    RESULT["detail"]["voxelnet_lyft9_e2e_samples_per_sec"] = sweeps_sec_second
+    RESULT["detail"]["voxelnet_points_per_sample"] = N_SEC
+    RESULT["detail"]["voxelnet_bench_error"] = sec_error
+    _progress("sparse FHD middle e2e")
 
     del vparams, sec_pts, sec_valid, vox0
     jax.clear_caches()
@@ -338,6 +426,11 @@ def main() -> None:
         jax.clear_caches()
     except Exception as e:
         sparse_error = repr(e)[:300]
+    RESULT["detail"]["voxelnet_sparse_fhd_e2e_samples_per_sec"] = (
+        sparse_samples_per_sec
+    )
+    RESULT["detail"]["voxelnet_sparse_bench_error"] = sparse_error
+    _progress("pointrcnn lyft e2e")
 
     # Secondary: PointRCNN (third detector family) joint forward at the
     # reference Lyft capacities — 16384 points, SA 4096/1024/256/64, 100
@@ -395,37 +488,13 @@ def main() -> None:
     except Exception as e:
         prcnn_error = repr(e)[:300]
 
-    baseline_file = REPO / "CPU_BASELINE.json"
-    if baseline_file.exists():
-        baseline = json.loads(baseline_file.read_text())["sweeps_per_sec"]
-    else:
-        baseline = float("nan")
-
-    result = {
-        "metric": "bev_e2e_sweeps_per_sec_per_chip",
-        "value": round(sweeps_per_sec, 3),
-        "unit": "sweeps/s",
-        "vs_baseline": round(sweeps_per_sec / baseline, 2)
-        if baseline == baseline
-        else None,
-        "detail": {
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-            "batch": BATCH,
-            "points_per_sweep": N_POINTS,
-            "model": "unet_seresnext101 bf16 336x336x6",
-            "tpu_optimal_variant_unet_resnet50_sweeps_per_sec": round(sweeps50, 3),
-            "voxelnet_lyft9_e2e_samples_per_sec": sweeps_sec_second,
-            "voxelnet_points_per_sample": N_SEC,
-            "voxelnet_bench_error": sec_error,
-            "voxelnet_sparse_fhd_e2e_samples_per_sec": sparse_samples_per_sec,
-            "voxelnet_sparse_bench_error": sparse_error,
-            "pointrcnn_lyft_e2e_samples_per_sec": pointrcnn_samples_per_sec,
-            "pointrcnn_bench_error": prcnn_error,
-            "cpu_baseline_sweeps_per_sec": baseline if baseline == baseline else None,
-        },
-    }
-    print(json.dumps(result))
+    RESULT["detail"]["pointrcnn_lyft_e2e_samples_per_sec"] = (
+        pointrcnn_samples_per_sec
+    )
+    RESULT["detail"]["pointrcnn_bench_error"] = prcnn_error
+    RESULT["detail"]["progress"] = "done"
+    _DONE.set()
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

@@ -29,9 +29,10 @@ class SubMConvLayer(nn.Module):
 
     ``fused="pallas"`` routes the gather+contraction through the fused
     VMEM-resident kernel (``ops.subm_conv_kernel`` — no (K, V, C) HBM
-    materialization); "xla" is the gather+einsum formulation; "auto"
-    currently selects xla pending on-chip A/B (flip after measuring with
-    scripts/microbench_subm.py).
+    materialization); "xla" is the gather+einsum formulation. "auto"
+    selects xla: the current Mosaic toolchain cannot lower table-scale
+    in-kernel row gathers at all (see ops/subm_conv_kernel.py header for
+    the probe results), so the pallas path is interpret-mode-only for now.
     """
 
     features: int

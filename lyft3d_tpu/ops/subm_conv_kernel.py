@@ -14,6 +14,18 @@ SURVEY.md §2.3 N10b). Correctness is exact (same ranks contract as the XLA
 path), with none of the fixed-window hazards that sank the round-1
 dense-fill formulation — the gather is by explicit rank, not by windowed
 binary search.
+
+TOOLCHAIN STATUS (measured on TPU, jax 0.9.0): Mosaic's gather lowering
+accepts ONLY the same-shape ``take_along_axis`` form (input, indices and
+output all (N, M); ``lowering.py:_gather_lowering_rule``), and even that
+form crashes the backend compiler on this target for table-scale operands
+(probed: every orientation of (49k, C) row gathers → front-end
+NotImplementedError or tpu_compile_helper exit 1). Until in-kernel
+arbitrary-row ``tpu.dynamic_gather`` lands, this kernel runs correctly
+only under ``interpret=True`` (tests) and ``SubMConvLayer(fused="auto")``
+selects the XLA gather+einsum path on TPU (~3.1 ms per stage-0 layer at
+V=49152, C=16→16, K=27 — within ~2x of the HBM random-row bound for that
+formulation).
 """
 
 from __future__ import annotations
