@@ -18,6 +18,7 @@ equivalent of the same model + post-processing) and cached in
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import sys
@@ -27,6 +28,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+from lyft3d_tpu.utils.compile_cache import enable_compile_cache
 
 BATCH = 32  # throughput-optimal on v5e-1 (within-window sweep: 1.4x over
 # batch 8, flat 32→64); the e2e is latency-insensitive batch inference
@@ -61,39 +64,39 @@ _T0 = time.perf_counter()
 
 def _watchdog() -> None:
     if not _DONE.wait(BUDGET_S):
-        RESULT["detail"]["timeout"] = (
-            f"budget {BUDGET_S:.0f}s exceeded during "
-            f"'{RESULT['detail'].get('progress')}' (wedged TPU tunnel or "
-            "compile blowup); partial metrics reported"
-        )
-        print(json.dumps(RESULT), flush=True)
-        os._exit(0)
-
-
-def _enable_compile_cache() -> None:
-    """Persistent compile cache (keyed by host CPU for XLA:CPU AOT safety;
-    TPU entries are program-keyed and safe to share across runs)."""
-    import hashlib
-
-    import jax
-
-    try:
         try:
-            with open("/proc/cpuinfo") as f:
-                flags = [l for l in f if l.startswith("flags")][:1]
-            key = hashlib.sha1("".join(flags).encode()).hexdigest()[:12]
-        except OSError:
-            key = "generic"
-        jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{key}")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # the cache is an optimization; never fail the bench over it
+            # main() mutates RESULT concurrently; json.dumps over a dict
+            # that changes size raises. Retry a snapshot a few times, then
+            # fall back to the minimal schema so SOMETHING always prints
+            # and os._exit always runs.
+            RESULT["detail"]["timeout"] = (
+                f"budget {BUDGET_S:.0f}s exceeded during "
+                f"'{RESULT['detail'].get('progress')}' (wedged TPU tunnel or "
+                "compile blowup); partial metrics reported"
+            )
+            out = None
+            for _ in range(5):
+                try:
+                    out = json.dumps(copy.deepcopy(RESULT))
+                    break
+                except RuntimeError:
+                    time.sleep(0.05)
+            if out is None:
+                out = json.dumps({
+                    "metric": RESULT.get("metric"),
+                    "value": RESULT.get("value"),
+                    "unit": RESULT.get("unit"),
+                    "vs_baseline": RESULT.get("vs_baseline"),
+                    "detail": {"timeout": "budget exceeded (racy snapshot)"},
+                })
+            print(out, flush=True)
+        finally:
+            os._exit(0)
 
 
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
-    _enable_compile_cache()
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -190,7 +190,10 @@ def cmd_train_pointrcnn(args):
                           augment=args.augment),
     )
     cfg = (
-        lyft_pointrcnn_config("train") if args.preset == "lyft"
+        # One class per run (train_rcnn.py:222): the first --classes entry
+        # selects the CLS_MEAN_SIZE row the coders regress against.
+        lyft_pointrcnn_config("train", class_name=args.classes.split(",")[0])
+        if args.preset == "lyft"
         else PointRCNNConfig()
     )
     model, params, losses = train_pointrcnn_rpn(

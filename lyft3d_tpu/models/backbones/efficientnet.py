@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lyft3d_tpu.models.backbones import register_backbone
-from lyft3d_tpu.models.layers import _num_groups
+from lyft3d_tpu.models.layers import ConvNormAct
 
 # (width_mult, depth_mult) per variant.
 _SCALING = {
@@ -56,36 +56,37 @@ class MBConv(nn.Module):
     expand: int
     kernel: int
     strides: int
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        # Conv/norm pairs go through ConvNormAct (act=False; MBConv is SiLU,
+        # not ReLU) so ``norm_type`` selects group/batch/folded uniformly and
+        # fold_batch_norms finds its (Conv_0, BatchNorm_0) sibling pairs.
+        cna = lambda f, **kw: ConvNormAct(
+            f, act=False, norm_type=self.norm_type, dtype=self.dtype, **kw
+        )
         inp = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = nn.Conv(inp * self.expand, (1, 1), use_bias=False, dtype=self.dtype)(h)
-            h = nn.GroupNorm(num_groups=_num_groups(inp * self.expand), dtype=self.dtype)(h)
-            h = nn.silu(h)
+            h = nn.silu(cna(inp * self.expand, kernel=1)(h))
         mid = h.shape[-1]
-        h = nn.Conv(
-            mid,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            feature_group_count=mid,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-        )(h)
-        h = nn.GroupNorm(num_groups=_num_groups(mid), dtype=self.dtype)(h)
-        h = nn.silu(h)
+        # Depthwise: keep the native grouped lowering (the supergroup pack's
+        # 128x FLOP redundancy is not worth it at cin_g=1).
+        h = nn.silu(
+            cna(
+                mid, kernel=self.kernel, strides=self.strides,
+                groups=mid, pack_groups="never",
+            )(h)
+        )
         # SE with ratio 0.25 of the block input.
         se_dim = max(1, inp // 4)
         s = jnp.mean(h, axis=(1, 2))
         s = nn.silu(nn.Dense(se_dim, dtype=self.dtype)(s))
         s = nn.sigmoid(nn.Dense(mid, dtype=self.dtype)(s))
         h = h * s[:, None, None, :]
-        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(h)
+        h = cna(self.features, kernel=1)(h)
         if self.strides == 1 and inp == self.features:
             h = h + x
         return h
@@ -93,6 +94,7 @@ class MBConv(nn.Module):
 
 class EfficientNet(nn.Module):
     variant: str = "b0"
+    norm_type: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -100,9 +102,12 @@ class EfficientNet(nn.Module):
         wm, dm = _SCALING[self.variant]
         x = x.astype(self.dtype)
         stem = _round_filters(32, wm)
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=_num_groups(stem), dtype=self.dtype)(x)
-        x = nn.silu(x)
+        x = nn.silu(
+            ConvNormAct(
+                stem, kernel=3, strides=2, act=False,
+                norm_type=self.norm_type, dtype=self.dtype,
+            )(x)
+        )
 
         feats = []
         for expand, ch, reps, stride, k in _BASE_BLOCKS:
@@ -111,7 +116,7 @@ class EfficientNet(nn.Module):
                 s = stride if i == 0 else 1
                 if s == 2 and feats is not None:
                     feats.append(x)  # feature BEFORE each downsample past the stem
-                x = MBConv(f, expand, k, s, dtype=self.dtype)(x)
+                x = MBConv(f, expand, k, s, norm_type=self.norm_type, dtype=self.dtype)(x)
         feats.append(x)
         # feats: [/2 (pre-/4 ds), /4, /8, /16, /32-final]; drop the /2 entry.
         return tuple(feats[1:])

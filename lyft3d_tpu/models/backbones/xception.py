@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lyft3d_tpu.models.backbones import register_backbone
-from lyft3d_tpu.models.layers import ConvNormAct, _num_groups
+from lyft3d_tpu.models.layers import ConvNormAct
 
 
 class SeparableConv(nn.Module):
@@ -30,9 +30,11 @@ class SeparableConv(nn.Module):
         x = nn.Conv(cin, (3, 3), strides=(self.strides, self.strides),
                     feature_group_count=cin, padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(x)
-        return x
+        # Pointwise conv + norm honor norm_type (group/batch/folded) via
+        # ConvNormAct so fold_batch_norms can fold the pair; the depthwise
+        # conv above carries no norm.
+        return ConvNormAct(self.features, kernel=1, act=False,
+                           norm_type=self.norm_type, dtype=self.dtype)(x)
 
 
 class XceptionBlock(nn.Module):

@@ -98,14 +98,23 @@ LYFT_CLASS_NAMES = (
 )
 
 
-def lyft_pointrcnn_config(mode: str = "test") -> PointRCNNConfig:
+def lyft_pointrcnn_config(
+    mode: str = "test", class_name: str = "car"
+) -> PointRCNNConfig:
     """Reference-capacity Lyft config (tools/cfgs/default.yaml): 16384-point
     input, SA pyramid 4096/1024/256/64 with paired-radius MSG groups, FP to
     128-ch point features, 512 train / 100 test proposals with
     distance-bucketed NMS (0.85 train / 0.8 test), 512 RoI points, RCNN SA
-    128/32 + global, per-class CLS_MEAN_SIZE table for all 9 Lyft classes.
+    128/32 + global.
+
+    ``class_name`` selects the active CLS_MEAN_SIZE row, mirroring the
+    reference's one-class-per-run scheme (``tools/train_rcnn.py:222`` /
+    ``eval_rcnn.py:888`` set ``cfg.CLS_MEAN_SIZE = [CLASS_MEAN[cls]]`` at
+    startup) — the size prior the bin coder regresses against is the mean
+    of the class being trained, for all 9 Lyft classes.
     """
     train = mode == "train"
+    mean = LYFT_CLS_MEAN_SIZES[LYFT_CLASS_NAMES.index(class_name)]
     return PointRCNNConfig(
         sa_npoints=(4096, 1024, 256, 64),
         sa_radii=((0.1, 0.5), (0.5, 1.0), (1.0, 2.0), (2.0, 4.0)),
@@ -114,7 +123,7 @@ def lyft_pointrcnn_config(mode: str = "test") -> PointRCNNConfig:
         fp_width=128,
         rpn_coder=BinCoderConfig(
             loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12,
-            class_mean_sizes=LYFT_CLS_MEAN_SIZES,
+            mean_size=mean, class_mean_sizes=LYFT_CLS_MEAN_SIZES,
         ),
         num_proposals=512 if train else 100,
         nms_pre=1024,
@@ -124,7 +133,7 @@ def lyft_pointrcnn_config(mode: str = "test") -> PointRCNNConfig:
         near_fraction=0.7,
         rcnn_coder=BinCoderConfig(
             loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
-            class_mean_sizes=LYFT_CLS_MEAN_SIZES,
+            mean_size=mean, class_mean_sizes=LYFT_CLS_MEAN_SIZES,
         ),
         roi_points=512,
         roi_extra_width=1.0,

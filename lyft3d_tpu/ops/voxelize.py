@@ -71,9 +71,17 @@ def block_filter_mask(points, valid, grid: VoxelGrid):
     by = jnp.clip(jnp.floor((points[:, 1] - r[1]) / bw[1]).astype(jnp.int32), 0, nby - 1)
     bid = by * nbx + bx
     z = points[:, 2]
+    # Range-crop BEFORE estimating ground (the reference filters after its
+    # range mask): an out-of-range point would otherwise be clipped into an
+    # edge block and poison that block's min-z.
+    in_range = (
+        (points[:, 0] >= r[0]) & (points[:, 0] < r[3])
+        & (points[:, 1] >= r[1]) & (points[:, 1] < r[4])
+    )
+    ok = valid & in_range
     zmin = jnp.full((nbx * nby,), jnp.inf, points.dtype).at[
-        jnp.where(valid, bid, 0)
-    ].min(jnp.where(valid, z, jnp.inf))
+        jnp.where(ok, bid, 0)
+    ].min(jnp.where(ok, z, jnp.inf))
     return valid & (z >= zmin[bid] + grid.height_threshold)
 
 

@@ -437,7 +437,6 @@ def train_rcnn_online(
     loader: KittiPointRCNNLoader,
     cfg: PointRCNNConfig,
     steps: int = 100,
-    batch_size: int = 1,
     lr: float = 1e-3,
     seed: int = 0,
     roi_noise: bool = True,
@@ -470,10 +469,11 @@ def train_rcnn_online(
         out = rpn_model.apply(rpn_params, xyz, feats, valid)
         props = proposal_layer(xyz, out["cls"], out["reg"], valid, cfg)
         rois = props["rois"]
+        k_noise, k_tgt = jax.random.split(key)
         if roi_noise:
-            rois = aug_rois_with_noise(rois, key)
+            rois = aug_rois_with_noise(rois, k_noise)
         tgts = proposal_target_layer(
-            rois, props["roi_valid"], gt, gt_valid, cfg, key
+            rois, props["roi_valid"], gt, gt_valid, cfg, k_tgt
         )
         pooled, counts, empty = roi_pool3d(
             xyz, out["point_features"], valid, rois,

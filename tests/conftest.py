@@ -20,19 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: model-compile-heavy tests are ~8 minutes cold
-# on this 1-core host, seconds warm. Keyed by host CPU flags — XLA:CPU AOT
-# entries are microarch-specific and cross-machine reuse can SIGILL.
-import hashlib
+# on this 1-core host, seconds warm.
+from lyft3d_tpu.utils.compile_cache import enable_compile_cache
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = [l for l in _f if l.startswith("flags")][:1]
-    _cpu_key = hashlib.sha1("".join(_flags).encode()).hexdigest()[:12]
-except OSError:
-    _cpu_key = "generic"
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_cpu_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+enable_compile_cache()
 
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} "
