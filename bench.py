@@ -123,10 +123,33 @@ def main() -> None:
         cpu_baseline_sweeps_per_sec=baseline if baseline == baseline else None,
     )
 
+    def zero_params(init_fn, *args):
+        """Structure-only params via eval_shape — a throughput bench does
+        not need real values, and skipping the init program avoids one
+        whole compile + load round-trip through the axon relay per model
+        (measured ~10-25 s each)."""
+        shapes = jax.eval_shape(init_fn, *args)
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def diff_timing(fn, args, work_iters):
+        """Time ``fn(*args, iters)`` at two on-device loop lengths; the
+        difference cancels the tunnel's constant dispatch/transfer cost.
+        ``iters`` is a TRACED int32 so both lengths share ONE compiled
+        program (two static loop lengths doubled every section's compile
+        bill — the dominant bench cost through the relay)."""
+        float(fn(*args, jnp.int32(1)))  # compile + warm
+        def timed(n):
+            t0 = time.perf_counter()
+            float(fn(*args, jnp.int32(n)))
+            return time.perf_counter() - t0
+        t_short = min(timed(1) for _ in range(2))
+        t_long = min(timed(1 + work_iters) for _ in range(2))
+        return max(t_long - t_short, 1e-9)
+
     _progress("flagship seresnext101 e2e: build + compile")
     model = build_model("unet_seresnext101", n_classes=10, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, *cfg.shape[:2], 6), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    params = zero_params(model.init, jax.random.PRNGKey(0), x0)
 
     def e2e(params, points, valid, map_ch):
         def raster_one(p, v):
@@ -159,7 +182,7 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    repeated = jax.jit(repeated, static_argnums=(4,))
+    repeated = jax.jit(repeated)
 
     rng = np.random.RandomState(0)
     points = jnp.asarray(
@@ -179,21 +202,8 @@ def main() -> None:
     valid = jnp.ones((BATCH, N_POINTS), bool)
     map_ch = jnp.asarray(rng.rand(BATCH, *cfg.shape[:2]).astype(np.float32))
 
-    # Warmup / compile both loop lengths; fetch the scalar to force sync.
-    float(repeated(params, points, valid, map_ch, 2))
-    float(repeated(params, points, valid, map_ch, 2 + ITERS))
-
-    def timed(iters):
-        t0 = time.perf_counter()
-        float(repeated(params, points, valid, map_ch, iters))
-        return time.perf_counter() - t0
-
-    # Difference of two loop lengths cancels the constant dispatch/transfer
-    # overhead of the tunnel.
     _progress("flagship seresnext101 e2e: timing")
-    t_short = min(timed(2) for _ in range(2))
-    t_long = min(timed(2 + ITERS) for _ in range(2))
-    dt = max(t_long - t_short, 1e-9)
+    dt = diff_timing(repeated, (params, points, valid, map_ch), ITERS)
     sweeps_per_sec = BATCH * ITERS / dt
     RESULT["value"] = round(sweeps_per_sec, 3)
     if baseline == baseline:
@@ -207,7 +217,7 @@ def main() -> None:
     # resnet50-UNet is the dense-conv alternative this framework recommends
     # on TPU.
     model50 = build_model("unet_resnet50", n_classes=10, dtype=jnp.bfloat16)
-    params50 = jax.jit(model50.init)(jax.random.PRNGKey(0), x0)
+    params50 = zero_params(model50.init, jax.random.PRNGKey(0), x0)
 
     def e2e50(params, points, valid, map_ch):
         def raster_one(p, v):
@@ -234,18 +244,9 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    repeated50 = jax.jit(repeated50, static_argnums=(4,))
-    float(repeated50(params50, points, valid, map_ch, 2))
-    float(repeated50(params50, points, valid, map_ch, 2 + ITERS))
-
-    def timed50(iters):
-        t0 = time.perf_counter()
-        float(repeated50(params50, points, valid, map_ch, iters))
-        return time.perf_counter() - t0
-
-    t_s50 = min(timed50(2) for _ in range(2))
-    t_l50 = min(timed50(2 + ITERS) for _ in range(2))
-    sweeps50 = BATCH * ITERS / max(t_l50 - t_s50, 1e-9)
+    repeated50 = jax.jit(repeated50)
+    dt50 = diff_timing(repeated50, (params50, points, valid, map_ch), ITERS)
+    sweeps50 = BATCH * ITERS / dt50
     RESULT["detail"]["tpu_optimal_variant_unet_resnet50_sweeps_per_sec"] = (
         round(sweeps50, 3)
     )
@@ -285,13 +286,18 @@ def main() -> None:
         )
     )
     sec_valid = jnp.ones((SEC_BATCH, N_SEC), bool)
-    vox0 = jax.vmap(
-        lambda p, v: voxelize(p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel)
-    )(sec_pts, sec_valid)
-    vparams = jax.jit(vnet.init)(
-        jax.random.PRNGKey(0),
-        vox0["voxels"][:1], vox0["num_points"][:1], vox0["coords"][:1],
-        vox0["voxel_valid"][:1],
+    vox0 = jax.eval_shape(
+        jax.vmap(
+            lambda p, v: voxelize(
+                p, v, vcfg.grid, vcfg.max_voxels, vcfg.max_points_per_voxel
+            )
+        ),
+        sec_pts[:1], sec_valid[:1],
+    )
+    vparams = zero_params(
+        vnet.init, jax.random.PRNGKey(0),
+        vox0["voxels"], vox0["num_points"], vox0["coords"],
+        vox0["voxel_valid"],
     )
     anchors, _, _, acls = vcfg.make_anchors()
 
@@ -319,12 +325,7 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    sec_repeated = jax.jit(sec_repeated, static_argnums=(3,))
-
-    def sec_timed(iters):
-        t0 = time.perf_counter()
-        float(sec_repeated(vparams, sec_pts, sec_valid, iters))
-        return time.perf_counter() - t0
+    sec_repeated = jax.jit(sec_repeated)
 
     # The 1.1M-anchor program occasionally crashes the experimental axon
     # TPU relay (nondeterministic UNAVAILABLE "kernel fault"; every sub-op
@@ -334,11 +335,8 @@ def main() -> None:
     sweeps_sec_second = None
     sec_error = None
     try:
-        float(sec_repeated(vparams, sec_pts, sec_valid, 1))
-        float(sec_repeated(vparams, sec_pts, sec_valid, 1 + ITERS))
-        t_ss = min(sec_timed(1) for _ in range(2))
-        t_sl = min(sec_timed(1 + ITERS) for _ in range(2))
-        sweeps_sec_second = round(SEC_BATCH * ITERS / max(t_sl - t_ss, 1e-9), 3)
+        dt_sec = diff_timing(sec_repeated, (vparams, sec_pts, sec_valid), ITERS)
+        sweeps_sec_second = round(SEC_BATCH * ITERS / dt_sec, 3)
     except Exception as e:  # relay crash → report, keep the BEV headline
         sec_error = repr(e)[:300]
     RESULT["detail"]["voxelnet_lyft9_e2e_samples_per_sec"] = sweeps_sec_second
@@ -377,13 +375,16 @@ def main() -> None:
             )
         )
         sp_valid = jnp.ones((SP_BATCH, N_SEC), bool)
-        spvox0 = jax.vmap(
-            lambda p, v: voxelize(p, v, spcfg.grid, spcfg.max_voxels,
-                                  spcfg.max_points_per_voxel)
-        )(sp_pts[:1], sp_valid[:1])
-        sp_params = jax.jit(spnet.init)(
-            jax.random.PRNGKey(0), spvox0["voxels"], spvox0["num_points"],
-            spvox0["coords"], spvox0["voxel_valid"],
+        spvox0 = jax.eval_shape(
+            jax.vmap(
+                lambda p, v: voxelize(p, v, spcfg.grid, spcfg.max_voxels,
+                                      spcfg.max_points_per_voxel)
+            ),
+            sp_pts[:1], sp_valid[:1],
+        )
+        sp_params = zero_params(
+            spnet.init, jax.random.PRNGKey(0), spvox0["voxels"],
+            spvox0["num_points"], spvox0["coords"], spvox0["voxel_valid"],
         )
         sp_anchors, _, _, sp_acls = spcfg.make_anchors()
 
@@ -411,20 +412,9 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        sp_repeated = jax.jit(sp_repeated, static_argnums=(3,))
-
-        def sp_timed(iters):
-            t0 = time.perf_counter()
-            float(sp_repeated(sp_params, sp_pts, sp_valid, iters))
-            return time.perf_counter() - t0
-
-        float(sp_repeated(sp_params, sp_pts, sp_valid, 1))
-        float(sp_repeated(sp_params, sp_pts, sp_valid, 1 + ITERS))
-        t_ps = min(sp_timed(1) for _ in range(2))
-        t_pl = min(sp_timed(1 + ITERS) for _ in range(2))
-        sparse_samples_per_sec = round(
-            SP_BATCH * ITERS / max(t_pl - t_ps, 1e-9), 3
-        )
+        sp_repeated = jax.jit(sp_repeated)
+        dt_sp = diff_timing(sp_repeated, (sp_params, sp_pts, sp_valid), ITERS)
+        sparse_samples_per_sec = round(SP_BATCH * ITERS / dt_sp, 3)
         del sp_params, sp_pts, sp_valid, spvox0
         jax.clear_caches()
     except Exception as e:
@@ -459,8 +449,8 @@ def main() -> None:
             ).astype(np.float32)
         )
         pr_valid = jnp.ones((PR_N,), bool)
-        pr_params = jax.jit(pmodel.init)(
-            jax.random.PRNGKey(0), pr_pts, None, pr_valid
+        pr_params = zero_params(
+            pmodel.init, jax.random.PRNGKey(0), pr_pts, None, pr_valid
         )
 
         def pr_repeated(params, pts, valid, iters):
@@ -476,18 +466,9 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        pr_repeated = jax.jit(pr_repeated, static_argnums=(3,))
-
-        def pr_timed(iters):
-            t0 = time.perf_counter()
-            float(pr_repeated(pr_params, pr_pts, pr_valid, iters))
-            return time.perf_counter() - t0
-
-        float(pr_repeated(pr_params, pr_pts, pr_valid, 1))
-        float(pr_repeated(pr_params, pr_pts, pr_valid, 1 + ITERS))
-        t_rs = min(pr_timed(1) for _ in range(2))
-        t_rl = min(pr_timed(1 + ITERS) for _ in range(2))
-        pointrcnn_samples_per_sec = round(ITERS / max(t_rl - t_rs, 1e-9), 3)
+        pr_repeated = jax.jit(pr_repeated)
+        dt_pr = diff_timing(pr_repeated, (pr_params, pr_pts, pr_valid), ITERS)
+        pointrcnn_samples_per_sec = round(ITERS / dt_pr, 3)
     except Exception as e:
         prcnn_error = repr(e)[:300]
 
