@@ -10,7 +10,11 @@ Formulation: an active set is (coords (V, 3) int32, valid (V,), features
 offsets is one batched packed merge-sort (``lookup_batch``): hits are
 adjacency checks in the merged id order — no per-offset binary searches
 (searchsorted is pathological on TPU at these counts, measured 16× slower
-end-to-end). The neighbor tensor is then a rank gather (``gather_by_rank``;
+end-to-end) and no dense id→rank table at 3D volumes (``resolve_ids_table``
+exists and is exact, but XLA lowers its 630 MB scatter/element-gather to
+slow paths — measured 1.4× slower end-to-end; it stays available for
+small/BEV-scale id spaces via ``TABLE_MAX_VOLUME``). The neighbor tensor
+is then a rank gather (``gather_by_rank``;
 the dense-fill canvas kernel is NOT usable here — a stencil's key→query
 matching is partial, so its monotone map intersperses unmatched sentinels
 and any fixed fill window can overflow). The conv itself is a single
@@ -192,16 +196,57 @@ def _flat_query_ids(q_coords, q_ok, spatial_shape):
     return jnp.where(inb, ids, big), inb
 
 
-# Offset-resolution strategy: "merge" = one batched packed merge-sort for
-# all K offsets; "searchsorted" = per-offset binary search. Both are
-# measured options (sparse-middle A/B at Lyft scale); overridable for
-# benchmarking via this module global.
+# Offset-resolution strategy:
+#   "table"        — dense id→rank scatter/gather over the full spatial
+#                    volume (O(1) per query; the TPU winner — one memset +
+#                    one scatter replaces the big sorts entirely);
+#   "merge"        — one batched packed merge-sort for all K offsets;
+#   "searchsorted" — per-offset binary search.
+# All three are measured options (sparse-middle A/B at FHD scale on v5e-1,
+# batch 4: full middle 472 ms merge vs 648 ms table vs ~16x-slower-e2e
+# searchsorted). The table LOSES on TPU at 3D volumes: XLA lowers the
+# 630 MB table scatter to a while-loop of dynamic-update-slices and the
+# element-granular rank gather to a layout-converting slow path (traced:
+# while 70 ms + dus 54 ms + 77 ms s32 gather per batch-4 step). "merge"
+# is the default; "auto" picks table only under TABLE_MAX_VOLUME (useful
+# for small 2D/BEV id spaces), else merge. Overridable for benchmarking
+# via these module globals.
 LOOKUP_METHOD = "merge"
+TABLE_MAX_VOLUME = 2 ** 22  # 16 MiB int32 table per sample (BEV-scale)
 
 
-def resolve_ids(sorted_ids, big, qids, method=None):
-    """(K, Q) query flat-ids → (K, Q) sorted-order ranks (−1 absent)."""
+def resolve_ids_table(sorted_ids, qids, volume: int):
+    """(K, Q) query flat-ids → sorted-order ranks (−1 absent) via a dense
+    (volume,) rank table. Invalid/OOB entries on both sides carry the
+    sentinel id ``big == volume``: out of bounds for the table, so the
+    scatter's mode="drop" discards them (every APPLIED index is unique —
+    the dense_fill lesson: never duplicate a sentinel in bounds under
+    unique_indices) and the gather's mode="fill" returns −1 for them."""
+    v = sorted_ids.shape[0]
+    table = jnp.full((volume,), -1, jnp.int32)
+    table = table.at[sorted_ids].set(
+        jnp.arange(v, dtype=jnp.int32),
+        mode="drop", unique_indices=True, indices_are_sorted=True,
+    )
+    return table.at[qids].get(mode="fill", fill_value=-1)
+
+
+def resolve_ids(sorted_ids, big, qids, method=None, volume=None):
+    """(K, Q) query flat-ids → (K, Q) sorted-order ranks (−1 absent).
+
+    ``volume`` (static int = nx·ny·nz) enables the dense-table method;
+    without it "auto" falls back to the merge formulation.
+    """
     method = method or LOOKUP_METHOD
+    if method == "auto":
+        method = (
+            "table"
+            if volume is not None and volume <= TABLE_MAX_VOLUME
+            else "merge"
+        )
+    if method == "table":
+        assert volume is not None, "table method needs the static volume"
+        return resolve_ids_table(sorted_ids, qids, volume)
     if method == "merge":
         return lookup_batch(sorted_ids, big, qids, qids < big)
     v = sorted_ids.shape[0]
@@ -222,7 +267,8 @@ def subm_neighbors(active: ActiveSet, hash_, offsets, method=None):
     sorted_ids, perm, big = hash_
     q = active.coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
     qids, _ = _flat_query_ids(q, active.valid[None, :], active.spatial_shape)
-    return resolve_ids(sorted_ids, big, qids, method)
+    nx, ny, nz = active.spatial_shape
+    return resolve_ids(sorted_ids, big, qids, method, volume=nx * ny * nz)
 
 
 def gather_by_rank(features, perm, rank):
@@ -339,5 +385,6 @@ def sparse_conv3d_gather(
     qids, _ = _flat_query_ids(
         q, out_active.valid[None, :], in_active.spatial_shape
     )
-    rank = resolve_ids(sorted_ids, big, qids)
+    nx, ny, nz = in_active.spatial_shape
+    rank = resolve_ids(sorted_ids, big, qids, volume=nx * ny * nz)
     return gather_by_rank(features, perm, rank)

@@ -310,3 +310,84 @@ class TestLookupMachinery:
         assert (got == -1).all()
         slots = np.asarray(match_slots(sorted_ids, jnp.int32(700), qids, ok))
         assert (slots == 3).all()
+
+
+class TestResolveIdsTable:
+    """Dense rank-table resolution == merge resolution (the TPU default)."""
+
+    def test_table_matches_merge_random(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import resolve_ids
+
+        rng = np.random.RandomState(2)
+        volume = 1200
+        v, k, q = 50, 7, 60
+        sorted_ids = np.sort(
+            rng.choice(volume, v - 8, replace=False)
+        ).astype(np.int32)
+        # invalid tail carries the sentinel id == volume (the producer
+        # contract from _flat_ids / downsample_coords)
+        sorted_ids = np.concatenate(
+            [sorted_ids, np.full(8, volume, np.int32)]
+        )
+        qids = np.stack(
+            [rng.choice(volume, q, replace=False) for _ in range(k)]
+        ).astype(np.int32)
+        # intersperse sentinel (invalid/OOB) queries everywhere
+        qids[rng.rand(k, q) < 0.3] = volume
+        qids[1, :5] = sorted_ids[:5]  # guaranteed hits
+        big = jnp.int32(volume)
+        merge = np.asarray(
+            resolve_ids(jnp.asarray(sorted_ids), big, jnp.asarray(qids),
+                        method="merge")
+        )
+        table = np.asarray(
+            resolve_ids(jnp.asarray(sorted_ids), big, jnp.asarray(qids),
+                        method="table", volume=volume)
+        )
+        np.testing.assert_array_equal(table, merge)
+
+    def test_table_empty_and_all_invalid(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import resolve_ids
+
+        volume = 700
+        sorted_ids = jnp.asarray(np.full(3, volume, np.int32))  # all pad
+        qids = jnp.asarray(np.array([[1, 2, volume]], np.int32))
+        got = np.asarray(
+            resolve_ids(sorted_ids, jnp.int32(volume), qids,
+                        method="table", volume=volume)
+        )
+        assert (got == -1).all()
+
+    def test_auto_uses_table_and_agrees_end_to_end(self):
+        """subm_neighbors under the auto default == forced merge."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lyft3d_tpu.ops.sparse_conv import (
+            ActiveSet, build_hash, kernel_offsets, subm_neighbors,
+        )
+
+        rng = np.random.RandomState(3)
+        shape = (12, 10, 6)
+        n = 64
+        coords = np.stack([
+            rng.randint(0, shape[0], n), rng.randint(0, shape[1], n),
+            rng.randint(0, shape[2], n),
+        ], -1).astype(np.int32)
+        flat = (coords[:, 2] * shape[1] + coords[:, 1]) * shape[0] + coords[:, 0]
+        _, first = np.unique(flat, return_index=True)
+        valid = np.zeros(n, bool)
+        valid[first] = True
+        act = ActiveSet(coords=jnp.asarray(coords), valid=jnp.asarray(valid),
+                        spatial_shape=shape)
+        h = build_hash(act)
+        offs = kernel_offsets(3)
+        auto = np.asarray(subm_neighbors(act, h, offs))
+        merge = np.asarray(subm_neighbors(act, h, offs, method="merge"))
+        np.testing.assert_array_equal(auto, merge)
