@@ -221,7 +221,7 @@ class SecondExperiment:
     block_size: int = 8
     height_threshold: float = 0.2
     encoder: str = "pillars"
-    middle: str = "scatter"  # scatter | sparse (SpMiddleFHD path)
+    middle: str = "scatter"  # scatter | sparse_columns | sparse (SpMiddleFHD paths)
     # Sparse middle sizing (middle == "sparse"): per-stage channel widths
     # and active-voxel caps of the strided sparse-conv stack
     # (SpMiddleFHD's downsample chain, second/pytorch/models/middle.py).

@@ -129,6 +129,115 @@ def sparse_to_dense_bev(features, active: ActiveSet):
     )
 
 
+class SubMColumnLayer(nn.Module):
+    """Submanifold conv + LayerNorm + ReLU in the BEV-column formulation
+    (``ops.column_sparse``). Natively BATCHED: the fused stencil kernel's
+    window-coverage fallback is one batch-level ``lax.cond``, which must
+    sit outside any vmap (a vmapped cond becomes a select that executes
+    both branches)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+    # Kernel tiling (see stencil_conv_batched): the window must cover a
+    # whole tile's rank span or the coverage check trips the (slow) ref
+    # fallback; full-middle sweep on v5e-1 picked t256/w384 (smaller
+    # windows regress 240-370 ms vs 213 ms at FHD batch 4).
+    t_tile: int = 256
+    w_win: int = 384
+
+    @nn.compact
+    def __call__(self, colf, cols, neighbors):
+        from lyft3d_tpu.ops.column_sparse import subm_conv_columns_batched
+
+        cin = colf.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (27, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        out = subm_conv_columns_batched(
+            colf.astype(self.dtype), cols, neighbors, w, method=self.method,
+            t_tile=self.t_tile, w_win=self.w_win,
+        )
+        out = nn.LayerNorm(dtype=self.dtype)(out.astype(self.dtype))
+        return nn.relu(out) * cols.mask[..., None].astype(self.dtype)
+
+
+class StridedColumnLayer(nn.Module):
+    """Strided (k3 s2 p1) sparse conv over columns → new ColumnSet.
+    Batched like ``SubMColumnLayer``."""
+
+    features: int
+    max_out: int
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+    # Strided queries stride 2 over the input ranks, so per-tile rank
+    # spans are ~2× a subm layer's: w_win ≈ 2·t_tile keeps the coverage
+    # check from tripping the lax.cond fallback. t128/w256 won the
+    # full-middle sweep (213 ms vs 234 at t256/w384, FHD batch 4, v5e-1).
+    t_tile: int = 128
+    w_win: int = 256
+
+    @nn.compact
+    def __call__(self, colf, cols):
+        from lyft3d_tpu.ops.column_sparse import (
+            downsample_columns,
+            strided_conv_columns_batched,
+        )
+
+        cin = colf.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (27, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        out_cols = jax.vmap(
+            lambda c: downsample_columns(c, self.max_out)
+        )(cols)
+        out, omask = strided_conv_columns_batched(
+            colf.astype(self.dtype), cols, out_cols, w, method=self.method,
+            t_tile=self.t_tile, w_win=self.w_win,
+        )
+        out_cols = out_cols.replace(mask=omask)
+        out = nn.LayerNorm(dtype=self.dtype)(out.astype(self.dtype))
+        out = nn.relu(out) * out_cols.mask[..., None].astype(self.dtype)
+        return out, out_cols
+
+
+class SparseMiddleColumns(nn.Module):
+    """SpMiddleFHD-style stack in the BEV-column formulation — the TPU
+    default for the sparse middle. Takes BATCHED inputs ((B, V, C)
+    features, batched ActiveSet); caps bound COLUMNS per stage (columns
+    ≤ voxels, so the reference voxel caps are safe)."""
+
+    stage_features: Sequence[int] = (16, 32, 64)
+    stage_max_voxels: Sequence[int] = (8192, 4096, 2048)
+    subm_per_stage: int = 2
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+
+    @nn.compact
+    def __call__(self, features, active: ActiveSet):
+        from lyft3d_tpu.ops.column_sparse import (
+            column_neighbors,
+            columns_from_voxels,
+            columns_to_dense_bev,
+        )
+
+        cols, x = jax.vmap(columns_from_voxels)(
+            features.astype(self.dtype), active
+        )
+        for f, mo in zip(self.stage_features, self.stage_max_voxels):
+            neighbors = jax.vmap(column_neighbors)(cols)
+            for _ in range(self.subm_per_stage):
+                x = SubMColumnLayer(
+                    f, dtype=self.dtype, method=self.method
+                )(x, cols, neighbors)
+            x, cols = StridedColumnLayer(
+                f, max_out=mo, dtype=self.dtype, method=self.method
+            )(x, cols)
+        return jax.vmap(columns_to_dense_bev)(x, cols), cols
+
+
 class SparseMiddle(nn.Module):
     """SpMiddleFHD-style stack: per stage, ``subm_per_stage`` submanifold
     convs then one strided downsample; final dense-BEV flatten.

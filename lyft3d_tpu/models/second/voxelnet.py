@@ -42,7 +42,10 @@ class VoxelNetConfig:
     encoder: str = "pillars"  # simple | vfe | pillars
     encoder_features: Tuple[int, ...] = (64,)
     # Middle extractor: "scatter" = PointPillars BEV scatter;
-    # "sparse" = SpMiddleFHD-style submanifold + strided sparse conv stack.
+    # "sparse_columns" = SpMiddleFHD-style stack in the BEV-column (dense-z)
+    # formulation (ops.column_sparse — the TPU-fast sparse path);
+    # "sparse" = the per-voxel gather-einsum formulation (reference
+    # implementation, kept for A/B and equivalence tests).
     middle: str = "scatter"
     middle_features: Tuple[int, ...] = (16, 32, 64)
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
@@ -82,7 +85,8 @@ class VoxelNetConfig:
 
     @property
     def middle_downsample(self) -> int:
-        return 2 ** len(self.middle_features) if self.middle == "sparse" else 1
+        is_sparse = self.middle in ("sparse", "sparse_columns")
+        return 2 ** len(self.middle_features) if is_sparse else 1
 
     @property
     def feature_hw(self) -> Tuple[int, int]:
@@ -95,7 +99,7 @@ class VoxelNetConfig:
         # that coarsening.
         nx, ny, _ = self.grid.grid_size
         h, w = ny, nx
-        if self.middle == "sparse":
+        if self.middle in ("sparse", "sparse_columns"):
             # Each stage: strided sparse conv, k=3, p=1 (sparse_conv.py
             # downsample_coords): n -> (n + 2 - 3)//2 + 1.
             for _ in self.middle_features:
@@ -146,7 +150,25 @@ class VoxelNet(nn.Module):
             )
 
         feats = enc(voxels, num_points, coords)  # (B, V, C)
-        if cfg.middle == "sparse":
+        if cfg.middle == "sparse_columns":
+            # Natively batched (NOT nn.vmap): the fused stencil kernel's
+            # window fallback is a batch-level lax.cond that a vmapped
+            # trace would degrade into run-both-branches select.
+            from lyft3d_tpu.models.second.middle import SparseMiddleColumns
+            from lyft3d_tpu.ops.sparse_conv import ActiveSet
+
+            active = jax.vmap(
+                lambda c, v: ActiveSet(
+                    coords=c, valid=v, spatial_shape=cfg.grid.grid_size
+                )
+            )(coords, voxel_valid)
+            bev3, _ = SparseMiddleColumns(
+                stage_features=cfg.middle_features,
+                stage_max_voxels=cfg.middle_max_voxels,
+                dtype=self.dtype,
+            )(feats, active)
+            bev = bev3
+        elif cfg.middle == "sparse":
             mid = nn.vmap(
                 _SparseMiddleBatch,
                 in_axes=(0, 0, 0),

@@ -1,0 +1,665 @@
+"""Sparse 3D convolution over BEV columns with a dense z axis.
+
+The TPU-optimal formulation of spconv's SubMConv3d/SparseConv3d stacks
+(``second/second/pytorch/models/middle.py`` SpMiddleFHD:111-212;
+SURVEY.md §2.3 N10b) — a redesign of ``ops.sparse_conv``'s per-voxel
+gather-einsum driven by v5e-1 traces:
+
+- the (K=27, V, C) per-voxel neighbor row gathers dominate the gather
+  formulation (46 ms per stage-0 subm layer at batch 4 — rows of 16
+  lanes gather on a slow sub-tile path);
+- 27-offset id resolution costs a (27, 2V) merge-sort per stage.
+
+Here active voxels are grouped into BEV **columns** (distinct (x, y)),
+each storing all ``nz`` z-cells densely plus an activity mask. Lidar
+z-extents are tiny (40 → 20 → 10 → 5 across SpMiddleFHD's strides), so
+the dense-z waste is small, and in exchange:
+
+- dz kernel offsets become in-register z-shifts (free);
+- only **9** BEV offsets need id resolution (ids over the nx·ny plane);
+- neighbor gathers move whole columns — nz·C contiguous elements
+  (≥1280 B at stage 0), vector-load friendly instead of element-ish;
+- the 27-tap contraction runs as 9 matmuls with a 3C-wide contraction
+  (z shifts concatenated), real MXU work.
+
+Semantics match the gather formulation exactly at active sites (same
+kernel-offset ordering as ``ops.sparse_conv.kernel_offsets``; capacity
+caps apply to columns instead of voxels). Equality is tested against the
+per-voxel formulation in tests/test_column_sparse.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
+from lyft3d_tpu.ops.sparse_conv import ActiveSet, resolve_ids
+
+__all__ = [
+    "ColumnSet",
+    "columns_from_voxels",
+    "column_neighbors",
+    "subm_conv_columns",
+    "downsample_columns",
+    "strided_conv_columns",
+    "columns_to_dense_bev",
+    "subm_conv_columns_batched",
+    "strided_conv_columns_batched",
+]
+
+
+class ColumnSet(struct.PyTreeNode):
+    """Fixed-capacity set of active BEV columns with dense-z voxel masks."""
+
+    col_ids: jnp.ndarray  # (Vc,) int32 BEV flat ids (y·nx + x), ascending,
+    #                        invalid entries carry nx·ny at the tail
+    valid: jnp.ndarray  # (Vc,) bool
+    mask: jnp.ndarray  # (Vc, nz) bool — active voxels within each column
+    bev_shape: Tuple[int, int] = struct.field(pytree_node=False)  # (nx, ny)
+    nz: int = struct.field(pytree_node=False)
+
+    @property
+    def coords(self):
+        """(Vc, 2) int32 (x, y); invalid rows undefined (mask by valid)."""
+        nx, _ = self.bev_shape
+        return jnp.stack([self.col_ids % nx, self.col_ids // nx], axis=-1)
+
+
+def _bev_offsets2d():
+    """(9, 2) int32 (dx, dy) in ``kernel_offsets(3)`` outer order: the 3D
+    offset (dx, dy, dz) lives at k = ((dx+1)·3 + (dy+1))·3 + (dz+1), so a
+    (27, C, C') weight reshaped (9, 3, C, C') pairs row j with this
+    function's j-th offset and the 3 dz taps."""
+    r = (-1, 0, 1)
+    return jnp.asarray(list(itertools.product(r, r)), jnp.int32)
+
+
+def columns_from_voxels(features, active: ActiveSet):
+    """(V, C) voxel features + 3D active set → (ColumnSet, (Vc, nz, C)).
+
+    Column capacity = V (every voxel its own column in the worst case).
+    One sort by (bev id, z) + one canvas fill; the fill carries a ones
+    channel so features and mask come from a single pass.
+    """
+    nx, ny, nz = active.spatial_shape
+    v, c = features.shape
+    big2 = nx * ny
+    assert big2 * nz < 2 ** 30, (nx, ny, nz)
+    bev = active.coords[:, 1] * nx + active.coords[:, 0]
+    key = jnp.where(active.valid, bev * nz + active.coords[:, 2],
+                    jnp.int32(big2 * nz))
+    skey, perm = jax.lax.sort(
+        (key, jnp.arange(v, dtype=jnp.int32)), num_keys=1
+    )
+    f_s = features[perm]
+    valid_s = skey < big2 * nz
+    bev_s = skey // nz
+    z_s = skey % nz
+    head = (
+        jnp.concatenate([jnp.ones((1,), bool), bev_s[1:] != bev_s[:-1]])
+        & valid_s
+    )
+    crank = jnp.cumsum(head.astype(jnp.int32)) - 1  # column index per row
+    col_ids = jnp.full((v,), big2, jnp.int32)
+    # Non-head rows carry the OOB index v (dropped), interspersed between
+    # the ascending head cranks — so indices are NOT globally sorted.
+    col_ids = col_ids.at[jnp.where(head, crank, v)].set(
+        bev_s, mode="drop", unique_indices=True
+    )
+    col_valid = col_ids < big2
+    # (crank, z) slots are strictly ascending over valid rows (key order).
+    slot = crank * nz + z_s
+    fm = jnp.concatenate(
+        [f_s, jnp.ones((v, 1), f_s.dtype)], axis=-1
+    )
+    # Width c+1 is tiny and the canvas is v·nz rows — the scatter path wins
+    # (the pallas one-hot kernel would hold a multi-MB local-id array in
+    # VMEM for near-zero MXU work).
+    dense = fill_rows_by_id(fm, slot, valid_s, v * nz, assume_sorted=True,
+                            method="scatter")
+    colf = dense[:, :c].reshape(v, nz, c)
+    mask = dense[:, c].reshape(v, nz) > 0
+    cols = ColumnSet(col_ids=col_ids, valid=col_valid, mask=mask,
+                     bev_shape=(nx, ny), nz=nz)
+    return cols, colf
+
+
+def column_neighbors(cols: ColumnSet, method: Optional[str] = None):
+    """(9, Vc) column ranks for the 3×3 BEV stencil (−1 absent).
+
+    ``col_ids`` is already ascending, so ranks index the column arrays
+    directly (identity permutation — no build_hash needed)."""
+    nx, ny = cols.bev_shape
+    big2 = jnp.int32(nx * ny)
+    offs = _bev_offsets2d()
+    q = cols.coords[None, :, :] + offs[:, None, :]  # (9, Vc, 2)
+    inb = (
+        cols.valid[None, :]
+        & (q[..., 0] >= 0) & (q[..., 0] < nx)
+        & (q[..., 1] >= 0) & (q[..., 1] < ny)
+    )
+    qids = jnp.where(inb, q[..., 1] * nx + q[..., 0], big2)
+    return resolve_ids(cols.col_ids, big2, qids, method, volume=nx * ny)
+
+
+def _gather_rows(padded, rank):
+    """(Vc_in, L) flat z-padded columns + (Vq,) ranks → (Vq, L), zeros
+    where rank < 0. Wide-lane (L = (nz+2)·C ≥ 128) row gathers — the fast
+    gather path, unlike (nz, C)-shaped windows whose 16-lane minor dim
+    lands on a sub-tile path (measured 555 ms/layer at FHD stage 0)."""
+    ok = rank >= 0
+    out = padded[jnp.clip(rank, 0, padded.shape[0] - 1)]
+    return out * ok[:, None].astype(padded.dtype)
+
+
+def _banded_weight(wj, nz_out: int, nz_pad: int, stride: int):
+    """(3, C, Cout) z-taps → ((nz_pad)·C, nz_out·Cout) block-banded matrix
+    folding the z-shift structure into one MXU contraction: output z-cell
+    ``oz`` reads padded input row ``stride·oz + dz``. The K-dim redundancy
+    (nz_pad/3×) buys a well-shaped (V, nz_pad·C)@(nz_pad·C, nz·Cout)
+    matmul instead of nz_pad-row slice/concat traffic + K=3C einsums."""
+    _, cin, cout = wj.shape
+    iz = jnp.arange(nz_pad)[None, :, None]
+    oz = jnp.arange(nz_out)[None, None, :]
+    dz = jnp.arange(3)[:, None, None]
+    sel = (iz == stride * oz + dz).astype(wj.dtype)  # (3, nz_pad, nz_out)
+    wb = jnp.einsum("dio,dce->icoe", sel, wj)
+    return wb.reshape(nz_pad * cin, nz_out * cout)
+
+
+def subm_conv_columns(colf, cols: ColumnSet, neighbors, w):
+    """Submanifold 3³ conv over columns.
+
+    Args:
+        colf: (Vc, nz, C) column features.
+        cols: the active set (mask zeroes inactive contributors).
+        neighbors: (9, Vc) from ``column_neighbors``.
+        w: (27, C, Cout) in ``kernel_offsets(3)`` order.
+
+    Returns (Vc, nz, Cout) f32 — mask/normalize at the caller (outputs at
+    inactive sites are computed and must be masked, matching the gather
+    formulation's valid-row masking).
+    """
+    vc, nz, cin = colf.shape
+    cout = w.shape[-1]
+    w93 = w.reshape(9, 3, cin, cout)  # [j, dz] per kernel_offsets order
+    fm = colf * cols.mask[..., None].astype(colf.dtype)
+    padded = jnp.pad(fm, ((0, 0), (1, 1), (0, 0))).reshape(
+        vc, (nz + 2) * cin
+    )
+    out = jnp.zeros((vc, nz * cout), jnp.float32)
+    for j in range(9):
+        nf = _gather_rows(padded, neighbors[j])
+        wb = _banded_weight(w93[j], nz, nz + 2, 1).astype(nf.dtype)
+        out = out + jnp.dot(nf, wb, preferred_element_type=jnp.float32)
+    return out.reshape(vc, nz, cout)
+
+
+def downsample_columns(cols: ColumnSet, max_out: int):
+    """Output ColumnSet of a k=3, s=2, p=1 strided conv (2D analogue of
+    ``ops.sparse_conv.downsample_coords``): every output column receiving
+    ≥1 active input column, capped at ``max_out``. The z mask is filled by
+    ``strided_conv_columns``."""
+    nx, ny = cols.bev_shape
+    onx = (nx + 2 - 3) // 2 + 1
+    ony = (ny + 2 - 3) // 2 + 1
+    nzo = (cols.nz + 2 - 3) // 2 + 1
+    obig = jnp.int32(onx * ony)
+    num = cols.coords + 1  # + padding
+    o_hi = num // 2
+    o_lo = -((-(num - 2)) // 2)
+
+    combos = jnp.asarray(list(itertools.product(range(2), range(2))), jnp.int32)
+
+    def per_combo(j):
+        o = o_lo + j[None, :]
+        ok = (
+            cols.valid
+            & jnp.all(o <= o_hi, axis=1)
+            & (o[:, 0] >= 0) & (o[:, 0] < onx)
+            & (o[:, 1] >= 0) & (o[:, 1] < ony)
+        )
+        return jnp.where(ok, o[:, 1] * onx + o[:, 0], obig)
+
+    cand = jax.vmap(per_combo)(combos).reshape(-1)
+    cand = jnp.sort(cand)
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
+    ) & (cand < obig)
+    out_ids = jax.lax.sort(jnp.where(is_head, cand, obig))[:max_out]
+    out_valid = out_ids < obig
+    return ColumnSet(
+        col_ids=out_ids, valid=out_valid,
+        mask=jnp.zeros((max_out, nzo), bool),
+        bev_shape=(onx, ony), nz=nzo,
+    )
+
+
+def strided_conv_columns(colf, in_cols: ColumnSet, out_cols: ColumnSet, w,
+                         method: Optional[str] = None):
+    """k=3, s=2, p=1 strided sparse conv over columns.
+
+    Returns ((Vco, nzo, Cout) f32 features, (Vco, nzo) bool out mask) —
+    out mask = any active input voxel in the 3³ window (spconv's output
+    active-site rule). Mask/normalize features at the caller.
+    """
+    vc, nz, cin = colf.shape
+    vco = out_cols.col_ids.shape[0]
+    nzo = out_cols.nz
+    cout = w.shape[-1]
+    nx, ny = in_cols.bev_shape
+    big2 = jnp.int32(nx * ny)
+    w93 = w.reshape(9, 3, cin, cout)
+
+    offs = _bev_offsets2d()
+    q = out_cols.coords[None, :, :] * 2 + offs[:, None, :]  # 2·o + kk − 1
+    inb = (
+        out_cols.valid[None, :]
+        & (q[..., 0] >= 0) & (q[..., 0] < nx)
+        & (q[..., 1] >= 0) & (q[..., 1] < ny)
+    )
+    qids = jnp.where(inb, q[..., 1] * nx + q[..., 0], big2)
+    rank = resolve_ids(in_cols.col_ids, big2, qids, method, volume=nx * ny)
+
+    fm = colf * in_cols.mask[..., None].astype(colf.dtype)
+    padded = jnp.pad(fm, ((0, 0), (1, 1), (0, 0))).reshape(
+        vc, (nz + 2) * cin
+    )
+    mask_p = jnp.pad(
+        in_cols.mask.astype(jnp.float32), ((0, 0), (1, 1))
+    )
+    # Band for the z window of a stride-2 conv: output oz reads padded
+    # input rows 2·oz + {0,1,2}; summed over dz it also counts active
+    # inputs per window for the output mask.
+    iz = jnp.arange(nz + 2)[None, :, None]
+    oz = jnp.arange(nzo)[None, None, :]
+    dz = jnp.arange(3)[:, None, None]
+    msel = ((iz == 2 * oz + dz).astype(jnp.float32)).sum(0)  # (nz+2, nzo)
+    out = jnp.zeros((vco, nzo * cout), jnp.float32)
+    m_out = jnp.zeros((vco, nzo), jnp.float32)
+    for j in range(9):
+        nf = _gather_rows(padded, rank[j])
+        nm = _gather_rows(mask_p, rank[j])
+        wb = _banded_weight(w93[j], nzo, nz + 2, 2).astype(nf.dtype)
+        out = out + jnp.dot(nf, wb, preferred_element_type=jnp.float32)
+        m_out = m_out + jnp.dot(nm, msel,
+                                preferred_element_type=jnp.float32)
+    return (
+        out.reshape(vco, nzo, cout),
+        (m_out > 0.5) & out_cols.valid[:, None],
+    )
+
+
+def columns_to_dense_bev(colf, cols: ColumnSet):
+    """(Vc, nz, C) columns → (ny, nx, nz·C) dense BEV, channel layout
+    identical to ``models.second.middle.sparse_to_dense_bev`` (z-major
+    then C)."""
+    nx, ny = cols.bev_shape
+    vc, nz, c = colf.shape
+    rows = (colf * cols.mask[..., None].astype(colf.dtype)).reshape(
+        vc, nz * c
+    )
+    dense = fill_rows_by_id(rows, cols.col_ids, cols.valid, ny * nx,
+                            assume_sorted=True)
+    return dense.reshape(ny, nx, nz * c)
+
+
+# ---------------------------------------------------------------------------
+# Fused stencil kernel: the batched TPU fast path.
+#
+# v5e-1 measurements at FHD stage 0 (V=60k, nz=40, C=16→16, batch 4) drove
+# three changes over the per-offset XLA formulation above:
+#   - 9 XLA row gathers cost ~30 ms/layer (a 1-row fetch still reads whole
+#     (16, 128) tiles — ~10× HBM amplification);
+#   - the full-band (672,)→(640,) matmuls run 14× redundant FLOPs;
+#   - 9 separate f32 accumulations round-trip the (V, 640) output ~11 GB.
+# Here (per grid tile of T query columns): the neighbor ranks of one dy-band
+# are monotone over the sorted column ids, so one contiguous (W, P) window
+# per band covers all its hits; windows are pre-sliced (sequential reads)
+# and streamed to VMEM, each offset's rows come out of the window as a
+# (T, W) one-hot MXU matmul (the dense-fill trick), and the z-chunked band
+# weights (K≈256 per chunk) contract in-kernel with a single f32
+# accumulator. Escapes (a rank outside its window — possible only under
+# adversarial column layouts) are detected outside and the whole batch
+# falls back to the exact XLA reference via one lax.cond.
+# ---------------------------------------------------------------------------
+
+_TARGET_K = 256
+
+
+class _ChunkPlan(NamedTuple):
+    z: int          # output z-cells per chunk
+    kzrows: int     # input (padded-z) rows per chunk window
+    kz: int         # kzrows * cin
+    kzp: int        # kz rounded up to a 128-lane multiple
+    nc: int         # number of chunks
+    need_rows: int  # padded-z input rows consumed by all chunks
+
+
+def _chunk_plan(cin: int, nz_out: int, stride: int) -> _ChunkPlan:
+    z = max(1, min((_TARGET_K // cin - 3) // stride + 1, nz_out))
+    kzrows = stride * (z - 1) + 3
+    kz = kzrows * cin
+    kzp = -(-kz // 128) * 128
+    nc = -(-nz_out // z)
+    need = stride * z * (nc - 1) + kzrows
+    return _ChunkPlan(z, kzrows, kz, kzp, nc, need)
+
+
+def _chunk_source(fm, plan: _ChunkPlan, stride: int):
+    """(V, nz, C) masked features → (V, nc·kzp) z-padded chunked rows.
+
+    Row layout per chunk c: padded-z rows [stride·z·c, stride·z·c+kzrows)
+    flattened C-minor, zero-padded to kzp lanes."""
+    v, nz, cin = fm.shape
+    p = jnp.pad(fm, ((0, 0), (1, plan.need_rows - nz - 1), (0, 0)))
+    flat = p.reshape(v, plan.need_rows * cin)
+    chunks = []
+    for c in range(plan.nc):
+        s = stride * plan.z * c * cin
+        ck = flat[:, s: s + plan.kz]
+        chunks.append(jnp.pad(ck, ((0, 0), (0, plan.kzp - plan.kz))))
+    return jnp.concatenate(chunks, axis=-1)
+
+
+def _chunk_weights(w93, plan: _ChunkPlan, stride: int):
+    """(9, 3, C, Cout) z-taps → (9, kzp, z·Cout) shared per-chunk bands."""
+    _, _, cin, cout = w93.shape
+    wb = jax.vmap(
+        lambda wj: _banded_weight(wj, plan.z, plan.kzrows, stride)
+    )(w93)  # (9, kz, z*cout)
+    return jnp.pad(wb, ((0, 0), (0, plan.kzp - plan.kz), (0, 0)))
+
+
+def _stencil_ref(src, ranks, wc, nc: int):
+    """Exact XLA reference (and cond fallback / VJP primal) of the kernel.
+
+    src: (Vs, nc·kzp) chunked rows; ranks: (9, Vq); wc: (9, kzp, N).
+    Returns (Vq, nc·N) f32."""
+    vs = src.shape[0]
+    kzp = wc.shape[1]
+    ok = ranks >= 0
+    g = src[jnp.clip(ranks, 0, vs - 1)] * ok[..., None].astype(src.dtype)
+    g = g.reshape(9, ranks.shape[1], nc, kzp)
+    out = jnp.einsum("jvck,jkn->vcn", g, wc.astype(src.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(ranks.shape[1], -1)
+
+
+def _stencil_kernel(st_ref, loc_ref, src_ref, w_ref, out_ref, win, sems,
+                    *, nc: int, kzp: int, w_win: int):
+    """One query tile: DMA the 3 band windows straight from HBM
+    (double-buffered across grid steps), then 9 × (one-hot row-select on
+    the MXU + z-chunked band contraction) into a single f32 accumulator.
+    The one-hot never exists in HBM and neither do the windows — HBM sees
+    sequential window reads and one output write per tile."""
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    tt = out_ref.shape[0]
+
+    def start_dmas(gi, slot):
+        for b in range(3):
+            # st carries start//8 — the ×8 proves the 8-row DMA alignment
+            # Mosaic requires for dynamic sublane starts.
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(st_ref[gi, b] * 8, w_win)],
+                win.at[slot, b],
+                sems.at[slot, b],
+            ).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_dmas(0, 0)
+
+    @pl.when(g + 1 < ng)
+    def _():
+        start_dmas(g + 1, (g + 1) % 2)
+
+    slot = g % 2
+    for b in range(3):
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(st_ref[g, b] * 8, w_win)],
+            win.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
+
+    loc = loc_ref[0]  # (9, T); T on lanes — (T, 9) would lane-pad 9 → 128
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tt, w_win), 1)
+    n = w_ref.shape[-1]
+    accs = [jnp.zeros((tt, n), jnp.float32) for _ in range(nc)]
+    for j in range(9):
+        lj = loc[j]
+        oh = (iota == lj[:, None]).astype(win.dtype)
+        gth = jnp.dot(oh, win[slot, j % 3],
+                      preferred_element_type=jnp.float32).astype(win.dtype)
+        wj = w_ref[j]
+        for c in range(nc):
+            accs[c] = accs[c] + jnp.dot(
+                gth[:, c * kzp: (c + 1) * kzp], wj,
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = jnp.concatenate(accs, axis=-1)
+
+
+def _window_prep(src_rows, ranks, t_tile: int, w_win: int):
+    """Per-sample window-start/local-rank prep for the kernel.
+
+    src_rows: the number of source rows (static int — starts are clipped
+    so the kernel's (W,)-row DMA stays within src padded by W rows).
+    Returns (loc (NT, 9, T), starts (NT, 3), ok scalar bool)."""
+    vq = ranks.shape[1]
+    nt = -(-vq // t_tile)
+    vqp = nt * t_tile
+    rk = jnp.pad(ranks, ((0, 0), (0, vqp - vq)), constant_values=-1)
+    rk = rk.reshape(9, nt, t_tile)
+    big = jnp.int32(2 ** 30)
+    # Band b = j % 3 (the dy index in kernel_offsets order) shares one
+    # window; its start is the least valid rank over the band's offsets.
+    starts = []
+    for b in range(3):
+        rb = rk[b::3]  # (3, nt, T)
+        s = jnp.min(jnp.where(rb >= 0, rb, big), axis=(0, 2))  # (nt,)
+        # Mosaic requires dynamic sublane-dim DMA starts divisible by the
+        # (8, 128) tiling; round down (w_win carries the +7 slack).
+        s = (jnp.clip(s, 0, max(src_rows, 1)) // 8) * 8
+        starts.append(s)
+    s3 = jnp.stack(starts)  # (3, nt)
+    loc = rk - s3[jnp.arange(9) % 3][:, :, None]
+    loc = jnp.where(rk >= 0, loc, -1)
+    ok = jnp.all(loc < w_win)
+    return loc.transpose(1, 0, 2), s3.T, ok
+
+
+def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
+                         interpret: bool):
+    """Flattened-batch kernel launch: grid = B·NT tiles; per-batch source
+    offsets are already folded into ``starts`` (batch b's rows live at
+    [b·Vsp, (b+1)·Vsp) of ``src_flat``)."""
+    g, _, tt = loc.shape
+    pp = src_flat.shape[-1]
+    n = wc.shape[-1]
+    kzp = wc.shape[1]
+    return pl.pallas_call(
+        partial(_stencil_kernel, nc=nc, kzp=kzp, w_win=w_win),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, 9, tt), lambda t, st: (t, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((9, kzp, n), lambda t, st: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tt, nc * n), lambda t, st: (t, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, w_win, pp), src_flat.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((g * tt, nc * n), jnp.float32),
+        interpret=interpret,
+    )(starts, loc, src_flat, wc)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
+                         w_win: int = 384, method: str = "auto"):
+    """Batched 9-offset stencil conv over chunked column rows.
+
+    src: (B, Vs, nc·kzp) bf16 chunked source rows (``_chunk_source``);
+    ranks: (B, 9, Vq) int32 BEV-stencil ranks (−1 absent);
+    wc: (9, kzp, N) chunk band weights (``_chunk_weights``).
+    Returns (B, Vq, nc·N) f32.
+
+    method: "auto" (pallas+cond on TPU, reference elsewhere), "pallas",
+    "pallas_interpret", or "ref".
+    """
+    b, _, vq = ranks.shape
+    vs = src.shape[1]
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "ref"
+    wc_c = wc.astype(src.dtype)
+    if method == "ref":
+        return jax.vmap(lambda s, r: _stencil_ref(s, r, wc_c, nc))(src, ranks)
+    interpret = method == "pallas_interpret"
+    t_eff = min(t_tile, -(-vq // 8) * 8)
+    # +8: window starts are rounded down to 8-row alignment in
+    # _window_prep (Mosaic dynamic-DMA constraint).
+    w_eff = -(-min(w_win, vs + t_tile) // 8) * 8 + 8
+    loc, starts, ok = jax.vmap(
+        lambda r: _window_prep(vs, r, t_eff, w_eff)
+    )(ranks)
+    nt = loc.shape[1]
+    # Multiple of 8 so batch-offset starts stay 8-aligned when flattened.
+    vsp = -(-(vs + w_eff) // 8) * 8
+    src_flat = jnp.pad(src, ((0, 0), (0, vsp - vs), (0, 0))).reshape(
+        b * vsp, -1
+    )
+    # Starts and vsp are multiples of 8; the kernel receives start//8 and
+    # rescales in-kernel so Mosaic can prove DMA alignment.
+    starts_flat = (
+        (starts + (jnp.arange(b, dtype=jnp.int32) * vsp)[:, None, None]) // 8
+    ).reshape(b * nt, 3)
+    loc_flat = loc.reshape(b * nt, 9, t_eff)
+
+    def pallas_branch(args):
+        lf, sf = args
+        out = _stencil_pallas_flat(lf, sf, src_flat, wc_c, nc, w_eff,
+                                   interpret)
+        return out.reshape(b, nt * t_eff, -1)[:, :vq]
+
+    out = jax.lax.cond(
+        jnp.all(ok),
+        pallas_branch,
+        lambda _: jax.vmap(
+            lambda s, r: _stencil_ref(s, r, wc_c, nc)
+        )(src, ranks),
+        (loc_flat, starts_flat),
+    )
+    return out
+
+
+def _stencil_fwd(src, ranks, wc, nc, t_tile, w_win, method):
+    out = stencil_conv_batched(src, ranks, wc, nc, t_tile, w_win, method)
+    return out, (src, ranks, wc)
+
+
+def _stencil_bwd(nc, t_tile, w_win, method, res, g):
+    src, ranks, wc = res
+    _, vjp = jax.vjp(
+        lambda s, w: jax.vmap(
+            lambda ss, rr: _stencil_ref(ss, rr, w.astype(s.dtype), nc)
+        )(s, ranks),
+        src, wc,
+    )
+    ds, dwc = vjp(g)
+    return ds, None, dwc
+
+
+stencil_conv_batched.defvjp(_stencil_fwd, _stencil_bwd)
+
+
+def subm_conv_columns_batched(colf, cols: ColumnSet, neighbors, w,
+                              method: str = "auto",
+                              t_tile: int = 256, w_win: int = 384):
+    """Batched submanifold 3³ conv — the TPU fast path of
+    ``subm_conv_columns`` (same math; one fused kernel per layer).
+
+    colf: (B, Vc, nz, C); neighbors: (B, 9, Vc); w: (27, C, Cout).
+    Returns (B, Vc, nz, Cout) f32.
+    """
+    bsz, vc, nz, cin = colf.shape
+    cout = w.shape[-1]
+    plan = _chunk_plan(cin, nz, 1)
+    fm = colf * cols.mask[..., None].astype(colf.dtype)
+    src = jax.vmap(lambda f: _chunk_source(f, plan, 1))(fm)
+    wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 1)
+    out = stencil_conv_batched(src, neighbors, wc, plan.nc, t_tile, w_win,
+                               method)
+    out = out.reshape(bsz, vc, plan.nc * plan.z, cout)
+    return out[:, :, :nz]
+
+
+def strided_conv_columns_batched(colf, in_cols: ColumnSet,
+                                 out_cols: ColumnSet, w,
+                                 method: str = "auto",
+                                 resolve_method: Optional[str] = None,
+                                 t_tile: int = 128, w_win: int = 256):
+    """Batched k=3 s=2 p=1 strided conv — TPU fast path of
+    ``strided_conv_columns``. Returns ((B, Vco, nzo, Cout) f32 features,
+    (B, Vco, nzo) bool out mask)."""
+    bsz, vc, nz, cin = colf.shape
+    vco = out_cols.col_ids.shape[1]
+    nzo = out_cols.nz
+    cout = w.shape[-1]
+    nx, ny = in_cols.bev_shape
+    big2 = jnp.int32(nx * ny)
+    offs = _bev_offsets2d()
+
+    onx, _ = out_cols.bev_shape
+
+    def ranks_one(oc_ids, oc_valid, ic_ids):
+        coords = jnp.stack([oc_ids % onx, oc_ids // onx], -1)
+        q = coords[None, :, :] * 2 + offs[:, None, :]
+        inb = (
+            oc_valid[None, :]
+            & (q[..., 0] >= 0) & (q[..., 0] < nx)
+            & (q[..., 1] >= 0) & (q[..., 1] < ny)
+        )
+        qids = jnp.where(inb, q[..., 1] * nx + q[..., 0], big2)
+        return resolve_ids(ic_ids, big2, qids, resolve_method,
+                           volume=nx * ny)
+
+    ranks = jax.vmap(ranks_one)(
+        out_cols.col_ids, out_cols.valid, in_cols.col_ids
+    )  # (B, 9, Vco)
+
+    plan = _chunk_plan(cin, nzo, 2)
+    fm = colf * in_cols.mask[..., None].astype(colf.dtype)
+    src = jax.vmap(lambda f: _chunk_source(f, plan, 2))(fm)
+    wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 2)
+    out = stencil_conv_batched(src, ranks, wc, plan.nc, t_tile, w_win,
+                               method)
+    out = out.reshape(bsz, vco, plan.nc * plan.z, cout)[:, :, :nzo]
+
+    # Output activity through the same machinery on the 1-channel mask
+    # (no narrow-lane gathers): count active inputs per 3³ window.
+    mplan = _chunk_plan(1, nzo, 2)
+    msrc = jax.vmap(
+        lambda m: _chunk_source(m[..., None].astype(colf.dtype), mplan, 2)
+    )(in_cols.mask)
+    mwc = _chunk_weights(
+        jnp.ones((9, 3, 1, 1), colf.dtype), mplan, 2
+    )
+    mm = stencil_conv_batched(msrc, ranks, mwc, mplan.nc, t_tile, w_win,
+                              method)
+    mm = mm.reshape(bsz, vco, mplan.nc * mplan.z)[:, :, :nzo]
+    omask = (mm > 0.5) & out_cols.valid[:, :, None]
+    return out, omask

@@ -58,7 +58,12 @@ def fill_rows_by_id(features, row_ids, valid, num_rows: int,
         ids, src = jax.lax.sort((ids, jnp.arange(v, dtype=jnp.int32)), num_keys=1)
         feats = feats[src]
     if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "scatter"
+        # The pallas kernel keeps the whole (n_tiles, tile) local-id array
+        # VMEM-resident (see _fill_kernel) — cap the canvas so it fits, and
+        # skip the one-hot matmul for narrow rows where the MXU is idle.
+        fits = num_rows <= 2 ** 20 and features.shape[1] >= 8
+        method = ("pallas" if jax.default_backend() == "tpu" and fits
+                  else "scatter")
     if method == "pallas":
         ones = jnp.ones((v,), bool)  # ids already masked/sorted above
         return fill_rows_by_id_pallas(feats, ids, ones, num_rows)
