@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from lyft3d_tpu.ops.pointnet2 import (
     ball_query,
-    furthest_point_sample,
+    fps,
     group_points,
     three_interpolate,
     three_nn,
@@ -54,7 +54,7 @@ class SAModuleMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, valid):
-        sel = furthest_point_sample(xyz, valid, self.npoint)
+        sel = fps(xyz, valid, self.npoint)
         new_xyz = xyz[sel]
         new_valid = valid[sel]
 

@@ -22,6 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "furthest_point_sample",
+    "fps",
     "fps_pallas",
     "ball_query",
     "group_points",
@@ -63,37 +64,69 @@ def furthest_point_sample(points, valid, npoint: int):
 
 
 def _fps_kernel(pts_ref, valid_ref, out_ref, dist_ref):
-    """Pallas FPS: pts (3, N) VMEM, valid (1, N), out (1, npoint) int32."""
-    n = pts_ref.shape[1]
+    """Pallas FPS: pts (3·8, C) VMEM (x rows 0..7, y 8..15, z 16..23),
+    valid (8, C), out (1, npoint) int32.
+
+    Vector-only formulation — Mosaic supports neither scalar VMEM stores
+    nor dynamic-lane scalar loads, so the selected point's coordinates are
+    read with a masked reduction and the output slot written with a masked
+    full-row rewrite; argmax runs on f32 (the only dtype Mosaic lowers).
+    Point index i lives at row-major position (i // C, i % C) of the
+    (8, C) plane, so flat argmax indices ARE point indices. The (8, C)
+    packing fills whole vregs (8 sublanes x 128 lanes); a (1, N) row would
+    waste 7/8 of each vector register.
+
+    Tie-breaking on real hardware follows Mosaic's reduction order, which
+    need not be "lowest index" — any argmax among tied distances is a
+    valid FPS; interpret mode matches the jnp formulation exactly.
+    """
     npoint = out_ref.shape[1]
-    valid = valid_ref[0, :] > 0
-    start = jnp.argmax(valid).astype(jnp.int32)
-    out_ref[0, 0] = start
-    dist_ref[0, :] = jnp.where(valid, _BIG, -1.0)
+    validf = valid_ref[:, :].astype(jnp.float32)  # (8, C)
+    rows, cols = validf.shape
+    flatidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    )
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    n = rows * cols
+    # First valid index, deterministically (argmax alone would tie across
+    # every valid lane on hardware): highest key = lowest valid index.
+    start = jnp.argmax(validf * (n - flatidx).astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    out_ref[:, :] = jnp.where(out_lane == 0, start, 0)
+    dist_ref[:, :] = jnp.where(validf > 0, _BIG, -1.0)
 
     def body(i, last):
-        px = pts_ref[0, last]
-        py = pts_ref[1, last]
-        pz = pts_ref[2, last]
-        d = (
-            (pts_ref[0, :] - px) ** 2
-            + (pts_ref[1, :] - py) ** 2
-            + (pts_ref[2, :] - pz) ** 2
-        )
-        nd = jnp.minimum(dist_ref[0, :], jnp.where(valid, d, -1.0))
-        dist_ref[0, :] = nd
+        sel = flatidx == last
+        x = pts_ref[0:rows, :]
+        y = pts_ref[rows : 2 * rows, :]
+        z = pts_ref[2 * rows : 3 * rows, :]
+        px = jnp.sum(jnp.where(sel, x, 0.0))
+        py = jnp.sum(jnp.where(sel, y, 0.0))
+        pz = jnp.sum(jnp.where(sel, z, 0.0))
+        d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+        nd = jnp.minimum(dist_ref[:, :], jnp.where(validf > 0, d, -1.0))
+        dist_ref[:, :] = nd
         nxt = jnp.argmax(nd).astype(jnp.int32)
-        out_ref[0, i] = nxt
+        out_ref[:, :] = jnp.where(out_lane == i, nxt, out_ref[:, :])
         return nxt
 
     jax.lax.fori_loop(1, npoint, body, start)
 
 
 def fps_pallas(points, valid, npoint: int, interpret: bool = False):
-    """Pallas TPU FPS; same contract as :func:`furthest_point_sample`."""
+    """Pallas TPU FPS; same contract as :func:`furthest_point_sample`
+    (up to argmax tie-breaking on real hardware — see `_fps_kernel`)."""
     n = points.shape[0]
+    # Pad to a multiple of 8*128 and pack row-major into (8, C) planes so
+    # every vreg is full; padded entries are invalid (dist -1, never picked).
+    pad = (-n) % (8 * 128)
     pts_t = points.T.astype(jnp.float32)  # (3, N)
-    valid_i = valid.astype(jnp.int32)[None, :]  # (1, N)
+    if pad:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)))
+    valid_i = jnp.pad(valid.astype(jnp.int32), (0, pad))
+    cols = (n + pad) // 8
     out = pl.pallas_call(
         _fps_kernel,
         out_shape=jax.ShapeDtypeStruct((1, npoint), jnp.int32),
@@ -102,10 +135,21 @@ def fps_pallas(points, valid, npoint: int, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, cols), jnp.float32)],
         interpret=interpret,
-    )(pts_t, valid_i)
+    )(pts_t.reshape(24, cols), valid_i.reshape(8, cols))
     return out[0]
+
+
+def fps(points, valid, npoint: int):
+    """Backend-dispatching FPS: the VMEM-resident Pallas kernel on TPU for
+    large inputs (v5e-1: 2.3 vs 26.8 ms at 16384→4096, 0.43 vs 3.2 ms at
+    4096→1024), the pure-jnp fori_loop otherwise — below ~4k points the
+    kernel's fixed launch overhead loses (0.56 vs 0.22 ms at 1024→256),
+    including every vmapped small-RoI instance in the RCNN encoder."""
+    if jax.default_backend() == "tpu" and points.shape[0] >= 4096:
+        return fps_pallas(points, valid, npoint)
+    return furthest_point_sample(points, valid, npoint)
 
 
 def _first_k_true(mask, k: int):
@@ -116,20 +160,22 @@ def _first_k_true(mask, k: int):
     row is empty.
     """
     n = mask.shape[-1]
-    rank = jnp.cumsum(mask, axis=-1) - 1  # position among trues
-    hit = mask & (rank < k)
-    slot = jnp.where(hit, rank, k)
-    idx_src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mask.shape)
-
-    def scatter_row(slot_row, idx_row):
-        return jnp.full((k + 1,), -1, jnp.int32).at[slot_row].set(idx_row, mode="drop")[:k]
-
-    flat_slot = slot.reshape(-1, n)
-    flat_idx = idx_src.reshape(-1, n)
-    out = jax.vmap(scatter_row)(flat_slot, flat_idx).reshape(mask.shape[:-1] + (k,))
+    # "First k true indices" as a top-k problem: key = index where true,
+    # sentinel n where false; the k smallest keys are exactly the first k
+    # true indices in ascending order. XLA's TPU TopK is ~200x faster than
+    # the per-row slot scatter this used to run (322 -> 1.6 ms at the
+    # 4096x16384 stage-0 ball-query shape, v5e-1).
+    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    kk = min(k, n)
+    neg, _ = jax.lax.top_k(-key, kk)
+    out = -neg  # ascending first-k true indices, padded with n
+    if kk < k:  # capacity exceeds row length: pad with the sentinel
+        pad = jnp.full(out.shape[:-1] + (k - kk,), n, out.dtype)
+        out = jnp.concatenate([out, pad], axis=-1)
     count = jnp.minimum(jnp.sum(mask, axis=-1), k)
     first = out[..., :1]
-    out = jnp.where(out < 0, jnp.maximum(first, 0), out)
+    out = jnp.where(out >= n, jnp.maximum(first, 0), out)
+    out = jnp.where(out >= n, 0, out)  # fully-empty rows -> 0
     return out.astype(jnp.int32), count
 
 

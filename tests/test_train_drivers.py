@@ -107,7 +107,11 @@ class TestBEVTrainDriver:
         sec = load_yaml(
             SecondExperiment, "configs/second_lyft_9class_sparse.yaml"
         )
-        assert sec.middle == "sparse" and sec.encoder == "simple"
+        # The shipped config runs the BEV-column sparse middle (the faster
+        # formulation of the same SpMiddleFHD stack); "sparse" (per-voxel
+        # gather) remains a valid option.
+        assert sec.middle in ("sparse", "sparse_columns")
+        assert sec.encoder == "simple"
         vcfg = voxelnet_config_from_experiment(sec)
         # TRUE FHD geometry (all.fhd.config:4-13): 0.05 m voxels over
         # ±49.6 m / z [-5, 3], 1 pt/voxel, height-based block filtering.
