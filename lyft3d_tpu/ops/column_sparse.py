@@ -494,7 +494,7 @@ def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
             grid=(g,),
             in_specs=[
                 pl.BlockSpec((1, 9, tt), lambda t, st: (t, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((9, kzp, n), lambda t, st: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((tt, nc * n), lambda t, st: (t, 0)),
@@ -508,19 +508,10 @@ def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
     )(starts, loc, src_flat, wc)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
-                         w_win: int = 384, method: str = "auto"):
-    """Batched 9-offset stencil conv over chunked column rows.
-
-    src: (B, Vs, nc·kzp) bf16 chunked source rows (``_chunk_source``);
-    ranks: (B, 9, Vq) int32 BEV-stencil ranks (−1 absent);
-    wc: (9, kzp, N) chunk band weights (``_chunk_weights``).
-    Returns (B, Vq, nc·N) f32.
-
-    method: "auto" (pallas+cond on TPU, reference elsewhere), "pallas",
-    "pallas_interpret", or "ref".
-    """
+def _stencil_run(src, ranks, wc, nc: int, t_tile: int, w_win: int,
+                 method: str):
+    """The stencil conv proper (no custom VJP) — shared by the forward
+    and, with reversed ranks + transposed band weights, the backward."""
     b, _, vq = ranks.shape
     vs = src.shape[1]
     if method == "auto":
@@ -566,21 +557,84 @@ def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
     return out
 
 
-def _stencil_fwd(src, ranks, wc, nc, t_tile, w_win, method):
-    out = stencil_conv_batched(src, ranks, wc, nc, t_tile, w_win, method)
-    return out, (src, ranks, wc)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
+                         w_win: int = 384, method: str = "auto",
+                         rev_ranks=None):
+    """Batched 9-offset stencil conv over chunked column rows.
+
+    src: (B, Vs, nc·kzp) bf16 chunked source rows (``_chunk_source``);
+    ranks: (B, 9, Vq) int32 BEV-stencil ranks (−1 absent);
+    wc: (9, kzp, N) chunk band weights (``_chunk_weights``);
+    rev_ranks: optional (B, 9, Vs) int32 REVERSE ranks — for each source
+        row v and offset j, the query q with ``ranks[j, q] == v`` (−1 if
+        none; the per-offset rank map is injective, so q is unique). When
+        given, the backward runs as a second FUSED stencil (transposed
+        band weights, reversed ranks) instead of differentiating the XLA
+        gather reference — the gather's scatter-add transpose serializes
+        per row on TPU and dominated the sparse-middle train step.
+    Returns (B, Vq, nc·N) f32.
+
+    method: "auto" (pallas+cond on TPU, reference elsewhere), "pallas",
+    "pallas_interpret", or "ref".
+    """
+    return _stencil_run(src, ranks, wc, nc, t_tile, w_win, method)
+
+
+def _stencil_fwd(src, ranks, wc, nc, t_tile, w_win, method, rev_ranks=None):
+    out = _stencil_run(src, ranks, wc, nc, t_tile, w_win, method)
+    return out, (src, ranks, wc, rev_ranks)
 
 
 def _stencil_bwd(nc, t_tile, w_win, method, res, g):
-    src, ranks, wc = res
-    _, vjp = jax.vjp(
-        lambda s, w: jax.vmap(
-            lambda ss, rr: _stencil_ref(ss, rr, w.astype(s.dtype), nc)
-        )(s, ranks),
-        src, wc,
+    src, ranks, wc, rev_ranks = res
+    if rev_ranks is None:
+        # Exact legacy path: differentiate the XLA reference formulation.
+        _, vjp = jax.vjp(
+            lambda s, w: jax.vmap(
+                lambda ss, rr: _stencil_ref(ss, rr, w.astype(s.dtype), nc)
+            )(s, ranks),
+            src, wc,
+        )
+        ds, dwc = vjp(g)
+        return ds, None, dwc, None
+
+    b, _, vq = ranks.shape
+    kzp, n = wc.shape[1], wc.shape[2]
+
+    # d_src: the transposed conv IS a 9-offset stencil over the cotangent
+    # rows — d_src[v] = Σ_j g[rev_ranks[j, v]] @ wc[j]ᵀ per chunk — so it
+    # runs through the same fused kernel with chunk width N (lane-padded)
+    # and output width kzp.
+    np_ = -(-n // 128) * 128
+    gsrc = g.astype(src.dtype).reshape(b, vq, nc, n)
+    gp = jnp.pad(gsrc, ((0, 0), (0, 0), (0, 0), (0, np_ - n))).reshape(
+        b, vq, nc * np_
     )
-    ds, dwc = vjp(g)
-    return ds, None, dwc
+    wct = jnp.pad(
+        jnp.swapaxes(wc, 1, 2), ((0, 0), (0, np_ - n), (0, 0))
+    ).astype(src.dtype)
+    ds = _stencil_run(gp, rev_ranks, wct, nc, t_tile, w_win, method)
+    ds = ds.astype(src.dtype)
+
+    # d_wc[j] = Σ_q,c src[ranks[j,q]][chunk c]ᵀ g[q][chunk c]: one offset
+    # at a time (lax.map bounds the gather working set at (Vq, nc·kzp)).
+    def per_offset(rj):
+        def one(s, r, gg):
+            ok = r >= 0
+            rows = s[jnp.clip(r, 0, s.shape[0] - 1)]
+            rows = rows * ok[:, None].astype(s.dtype)
+            return jnp.einsum(
+                "qck,qcn->kn",
+                rows.reshape(vq, nc, kzp),
+                gg.reshape(vq, nc, n),
+                preferred_element_type=jnp.float32,
+            )
+
+        return jax.vmap(one)(src, rj, g).sum(0)
+
+    dwc = jax.lax.map(per_offset, jnp.swapaxes(ranks, 0, 1))
+    return ds, None, dwc.astype(wc.dtype), None
 
 
 stencil_conv_batched.defvjp(_stencil_fwd, _stencil_bwd)
@@ -601,8 +655,11 @@ def subm_conv_columns_batched(colf, cols: ColumnSet, neighbors, w,
     fm = colf * cols.mask[..., None].astype(colf.dtype)
     src = jax.vmap(lambda f: _chunk_source(f, plan, 1))(fm)
     wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 1)
+    # Submanifold reverse ranks are the offset-flipped forward ranks:
+    # rev[j, v] = rank of (id_v − δ_j) = neighbors[8−j, v] (the 9 BEV
+    # offsets of _bev_offsets2d are negation-symmetric under j ↦ 8−j).
     out = stencil_conv_batched(src, neighbors, wc, plan.nc, t_tile, w_win,
-                               method)
+                               method, rev_ranks=neighbors[:, ::-1])
     out = out.reshape(bsz, vc, plan.nc * plan.z, cout)
     return out[:, :, :nz]
 
@@ -641,12 +698,36 @@ def strided_conv_columns_batched(colf, in_cols: ColumnSet,
         out_cols.col_ids, out_cols.valid, in_cols.col_ids
     )  # (B, 9, Vco)
 
+    # Reverse ranks for the fused backward: input column v is read by the
+    # (unique) output q with 2·coord(q) + δ_j = coord(v), i.e.
+    # coord(q) = (coord(v) − δ_j)/2 where both components divide evenly.
+    ony = out_cols.bev_shape[1]
+    obig = jnp.int32(onx * ony)
+
+    def rev_ranks_one(ic_ids, ic_valid, oc_ids):
+        coords = jnp.stack([ic_ids % nx, ic_ids // nx], -1)
+        t = coords[None, :, :] - offs[:, None, :]
+        even = (t[..., 0] % 2 == 0) & (t[..., 1] % 2 == 0)
+        qc = t // 2
+        inb = (
+            ic_valid[None, :] & even
+            & (qc[..., 0] >= 0) & (qc[..., 0] < onx)
+            & (qc[..., 1] >= 0) & (qc[..., 1] < ony)
+        )
+        qids = jnp.where(inb, qc[..., 1] * onx + qc[..., 0], obig)
+        return resolve_ids(oc_ids, obig, qids, resolve_method,
+                           volume=onx * ony)
+
+    rev_ranks = jax.vmap(rev_ranks_one)(
+        in_cols.col_ids, in_cols.valid, out_cols.col_ids
+    )  # (B, 9, Vc)
+
     plan = _chunk_plan(cin, nzo, 2)
     fm = colf * in_cols.mask[..., None].astype(colf.dtype)
     src = jax.vmap(lambda f: _chunk_source(f, plan, 2))(fm)
     wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 2)
     out = stencil_conv_batched(src, ranks, wc, plan.nc, t_tile, w_win,
-                               method)
+                               method, rev_ranks=rev_ranks)
     out = out.reshape(bsz, vco, plan.nc * plan.z, cout)[:, :, :nzo]
 
     # Output activity through the same machinery on the 1-channel mask

@@ -244,6 +244,99 @@ class TestBatchedStencil:
         assert np.isfinite(np.asarray(gw)).all()
         assert float(jnp.abs(gw).sum()) > 0
 
+    def test_subm_reverse_ranks_invariant(self):
+        """rev[j, v] = neighbors[8−j, v] inverts the forward rank map:
+        rev[j, ranks[j, q]] == q wherever ranks[j, q] ≥ 0."""
+        cols, colf, nb, w, _ = self._data()
+        nbr = np.asarray(nb)
+        rev = nbr[:, ::-1]
+        b, k, v = nbr.shape
+        for bb in range(b):
+            for j in range(k):
+                q = np.arange(v)
+                hit = nbr[bb, j] >= 0
+                assert (rev[bb, j, nbr[bb, j, hit]] == q[hit]).all()
+
+    @pytest.mark.parametrize("method", ["ref", "pallas_interpret"])
+    def test_subm_fused_bwd_matches_legacy(self, method):
+        """The fused reverse-stencil backward (rev_ranks given) must equal
+        the legacy jax.vjp-of-the-reference backward (rev_ranks=None)."""
+        from lyft3d_tpu.ops import column_sparse as cs
+
+        cols, colf, nb, w, _ = self._data()
+        b, _, nz, cin = colf.shape
+        cout = w.shape[-1]
+        plan = cs._chunk_plan(cin, nz, 1)
+
+        def loss(f, wt, rev):
+            fm = f * cols.mask[..., None].astype(f.dtype)
+            src = jax.vmap(lambda x: cs._chunk_source(x, plan, 1))(fm)
+            wc = cs._chunk_weights(wt.reshape(9, 3, cin, cout), plan, 1)
+            o = cs.stencil_conv_batched(
+                src, nb, wc, plan.nc, 256, 384, method, rev_ranks=rev
+            )
+            o = o.reshape(b, f.shape[1], plan.nc * plan.z, cout)[:, :, :nz]
+            return jnp.sum(jnp.sin(o))
+
+        gf_new, gw_new = jax.grad(
+            lambda f, wt: loss(f, wt, nb[:, ::-1]), argnums=(0, 1)
+        )(colf, w)
+        gf_old, gw_old = jax.grad(
+            lambda f, wt: loss(f, wt, None), argnums=(0, 1)
+        )(colf, w)
+        np.testing.assert_allclose(
+            np.asarray(gf_new), np.asarray(gf_old), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw_new), np.asarray(gw_old), rtol=1e-4, atol=1e-5
+        )
+
+    def test_strided_fused_bwd_numeric(self):
+        """Finite-difference check of the strided layer's fused backward
+        (reverse ranks resolved via the parity/divisibility rule)."""
+        rng = np.random.RandomState(11)
+        shape = (12, 10, 6)
+        cin, cout, b = 3, 4, 2
+        w = jnp.asarray((rng.randn(27, cin, cout) * 0.3).astype(np.float32))
+        colss, colfs = [], []
+        for i in range(b):
+            act = random_active(rng, shape, 55 + 4 * i, cap=80)
+            f = jnp.asarray(rng.randn(80, cin).astype(np.float32))
+            cols, colf = columns_from_voxels(f, act)
+            colss.append(cols)
+            colfs.append(colf)
+        stack = lambda xs: jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *xs
+        )
+        bcols, bcolf = stack(colss), jnp.stack(colfs)
+        boc = stack([downsample_columns(c, 256) for c in colss])
+
+        def loss(f, wt):
+            o, _ = strided_conv_columns_batched(
+                f, bcols, boc, wt, method="ref"
+            )
+            return jnp.sum(jnp.sin(o))
+
+        gf, gw = jax.grad(loss, argnums=(0, 1))(bcolf, w)
+        eps = 1e-3
+        f0, w0 = np.asarray(bcolf), np.asarray(w)
+        for idx in [(0, 3, 2, 1), (1, 10, 0, 0), (0, 0, 5, 2)]:
+            fp, fm = f0.copy(), f0.copy()
+            fp[idx] += eps
+            fm[idx] -= eps
+            num = (loss(jnp.asarray(fp), w) - loss(jnp.asarray(fm), w)) / (
+                2 * eps
+            )
+            assert abs(float(num) - np.asarray(gf)[idx]) < 2e-3
+        for idx in [(0, 0, 0), (13, 2, 1), (26, 1, 3)]:
+            wp, wm = w0.copy(), w0.copy()
+            wp[idx] += eps
+            wm[idx] -= eps
+            num = (loss(bcolf, jnp.asarray(wp)) - loss(bcolf, jnp.asarray(wm))) / (
+                2 * eps
+            )
+            assert abs(float(num) - np.asarray(gw)[idx]) < 2e-3
+
 
 class TestDenseBEV:
     def test_matches_voxel_fill(self):
