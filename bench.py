@@ -119,7 +119,7 @@ def main() -> None:
         device=str(jax.devices()[0]),
         batch=BATCH,
         points_per_sweep=N_POINTS,
-        model="unet_seresnext101 bf16 336x336x6",
+        model="unet_seresnext101 bf16 336x336x6 folded-BN inference",
         cpu_baseline_sweeps_per_sec=baseline if baseline == baseline else None,
     )
 
@@ -147,7 +147,17 @@ def main() -> None:
         return max(t_long - t_short, 1e-9)
 
     _progress("flagship seresnext101 e2e: build + compile")
-    model = build_model("unet_seresnext101", n_classes=10, dtype=jnp.bfloat16)
+    # Inference uses the FOLDED norm structure (conv+bias, no norm op) —
+    # function-preserving vs a BatchNorm-eval checkpoint via
+    # models/fold_bn.fold_batch_norms (exactness-tested in
+    # tests/test_batchnorm.py), mirroring the reference's BN-folds-into-conv
+    # deployment. Measured 3.9x UNet forward vs the GroupNorm structure
+    # (scripts/microbench_fold.py: 7.87 -> 2.02 ms at batch 8): every norm
+    # op's full-activation HBM round-trip disappears.
+    model = build_model(
+        "unet_seresnext101", n_classes=10, norm_type="folded",
+        dtype=jnp.bfloat16,
+    )
     x0 = jnp.zeros((1, *cfg.shape[:2], 6), jnp.float32)
     params = zero_params(model.init, jax.random.PRNGKey(0), x0)
 
@@ -216,7 +226,9 @@ def main() -> None:
     # backbone 27.3 ms vs resnet50 2.0 ms at comparable FLOPs, batch 8);
     # resnet50-UNet is the dense-conv alternative this framework recommends
     # on TPU.
-    model50 = build_model("unet_resnet50", n_classes=10, dtype=jnp.bfloat16)
+    model50 = build_model(
+        "unet_resnet50", n_classes=10, norm_type="folded", dtype=jnp.bfloat16
+    )
     params50 = zero_params(model50.init, jax.random.PRNGKey(0), x0)
 
     def e2e50(params, points, valid, map_ch):
