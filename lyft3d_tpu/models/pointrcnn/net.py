@@ -74,6 +74,14 @@ class PointRCNNConfig:
     bg_iou: float = 0.45
     rois_per_image: int = 32
     fg_fraction: float = 0.5
+    # Hard-background mining (sample_bg_inds, kitti_rcnn_dataset.py:1065 /
+    # proposal_target_layer.py:184-211): backgrounds with IoU in
+    # [bg_iou_lo, bg_iou) are "hard" and get hard_bg_ratio of the bg quota.
+    bg_iou_lo: float = 0.05  # CLS_BG_THRESH_LO, config.py:130
+    hard_bg_ratio: float = 0.8  # HARD_BG_RATIO, cfgs/default.yaml:122
+    # IoU-controlled RoI-noise resampling attempts for fg RoIs
+    # (ROI_FG_AUG_TIMES, cfgs/default.yaml:73; bg RoIs get 1 attempt).
+    roi_fg_aug_times: int = 10
     # final NMS over REFINED boxes at eval (eval_rcnn.py joint mode)
     final_nms_iou: float = 0.1
 
@@ -229,44 +237,133 @@ def proposal_layer(xyz, cls_logits, reg, valid, cfg: PointRCNNConfig):
     }
 
 
-def proposal_target_layer(rois, roi_valid, gt_boxes, gt_valid, cfg: PointRCNNConfig, rng):
-    """Train-time RoI sampling: IoU3D vs GT, fg ≥ fg_iou, ~50% fg quota
-    (proposal_target_layer.py:10-340, deterministic rank-based variant).
+def _random_subset(rng, member, n):
+    """Keep mask selecting min(n, |member|) members uniformly at random.
 
-    Returns per-roi: assigned gt index, fg mask, sampled keep mask.
+    ``n`` may be traced. Random priorities within the member set, rank by
+    argsort, keep ranks < n — the fixed-shape analogue of
+    ``np.random.permutation(count)[:n]``.
+    """
+    pri = jax.random.uniform(rng, member.shape)
+    pri = jnp.where(member, pri, 2.0)
+    order = jnp.argsort(pri)
+    rank = jnp.zeros_like(order).at[order].set(
+        jnp.arange(member.shape[0], dtype=order.dtype)
+    )
+    return member & (rank < n)
+
+
+def proposal_target_layer(rois, roi_valid, gt_boxes, gt_valid, cfg: PointRCNNConfig, rng):
+    """Train-time RoI sampling: IoU3D vs GT, RANDOM fg subsampling and
+    hard-background mining (``sample_rois_for_rcnn``
+    proposal_target_layer.py:79-182 + ``sample_bg_inds`` :184-211 /
+    kitti_rcnn_dataset.py:1065).
+
+    fg = IoU ≥ fg_iou, subsampled at random to fg_fraction·rois_per_image;
+    background splits into hard (IoU ∈ [bg_iou_lo, bg_iou)) and easy
+    (IoU < bg_iou_lo); hard backgrounds get hard_bg_ratio of the remaining
+    quota, with spill between the two pools when one runs short (the
+    reference tops up by sampling WITH replacement — a fixed-capacity mask
+    cannot duplicate rows, so short pools spill instead).
+
+    Returns per-roi: assigned gt index, fg mask, sampled keep mask, IoU.
     """
     iou = rotated_iou_3d(rois, gt_boxes)
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.where(roi_valid, jnp.max(iou, axis=1), -1.0)
     fg = best_iou >= cfg.fg_iou
-    bg = (best_iou < cfg.bg_iou) & (best_iou >= 0.0) & roi_valid
+    hard_bg = (best_iou < cfg.bg_iou) & (best_iou >= cfg.bg_iou_lo) & roi_valid
+    easy_bg = (best_iou < cfg.bg_iou_lo) & (best_iou >= 0.0) & roi_valid
 
-    n_fg_max = int(cfg.rois_per_image * cfg.fg_fraction)
-    fg_rank = jnp.cumsum(fg) - 1
-    keep_fg = fg & (fg_rank < n_fg_max)
-    n_bg_max = cfg.rois_per_image - n_fg_max
-    bg_rank = jnp.cumsum(bg) - 1
-    keep_bg = bg & (bg_rank < n_bg_max)
+    k_fg, k_hard, k_easy = jax.random.split(rng, 3)
+    n_fg_max = int(round(cfg.rois_per_image * cfg.fg_fraction))
+    n_fg = jnp.minimum(n_fg_max, jnp.sum(fg))
+    keep_fg = _random_subset(k_fg, fg, n_fg)
+
+    n_bg = cfg.rois_per_image - n_fg
+    n_hard_avail = jnp.sum(hard_bg)
+    n_easy_avail = jnp.sum(easy_bg)
+    hard_quota = jnp.minimum(
+        jnp.floor(n_bg * cfg.hard_bg_ratio).astype(n_bg.dtype), n_hard_avail
+    )
+    easy_take = jnp.minimum(n_bg - hard_quota, n_easy_avail)
+    hard_take = jnp.minimum(n_bg - easy_take, n_hard_avail)
+    keep_bg = _random_subset(k_hard, hard_bg, hard_take) | _random_subset(
+        k_easy, easy_bg, easy_take
+    )
     keep = keep_fg | keep_bg
     return {"assigned_gt": best_gt, "fg": keep_fg, "keep": keep, "max_iou": best_iou}
 
 
-def aug_rois_with_noise(rois, rng, loc_std: float = 0.3, yaw_std: float = 0.3,
-                        size_std: float = 0.05):
-    """Train-time RoI perturbation (``aug_roi_by_noise_batch``,
-    kitti_rcnn_dataset.py:1093): jitter center/size/heading so the RCNN sees
-    a diverse IoU distribution instead of only the RPN's exact proposals.
-    Vectorized Gaussian variant of the reference's resample loop."""
-    k1, k2, k3 = jax.random.split(rng, 3)
-    loc = rois[:, :3] + loc_std * jax.random.normal(k1, rois[:, :3].shape)
-    size = rois[:, 3:6] * (
-        1.0 + size_std * jax.random.normal(k2, rois[:, 3:6].shape)
+def _elementwise_iou3d(boxes1, boxes2):
+    """(N, 7) vs (N, 7) row-paired IoU3D."""
+    return jax.vmap(
+        lambda a, b: rotated_iou_3d(a[None], b[None])[0, 0]
+    )(boxes1, boxes2)
+
+
+def aug_rois_with_noise(rois, rng, gt_of_rois=None, fg=None,
+                        pos_iou: float = 0.55, attempts: int = 10,
+                        keep_prob: float = 0.2, loc_range: float = 0.5,
+                        size_range: float = 0.15,
+                        yaw_range: float = float(jnp.pi) / 12):
+    """Train-time RoI perturbation with IoU-controlled resampling
+    (``aug_roi_by_noise_torch`` proposal_target_layer.py:213-240 /
+    ``aug_roi_by_noise_batch`` kitti_rcnn_dataset.py:1093-1138).
+
+    Per RoI, up to ``attempts`` candidate perturbations are drawn — each
+    keeps the original box with probability ``keep_prob``, else jitters
+    center (uniform ±loc_range), size (scale 1 ± size_range) and heading
+    (uniform ±yaw_range) — the reference's REG_AUG_METHOD='single' ranges
+    (:249-253). The FIRST candidate whose IoU3D with the RoI's assigned GT
+    stays ≥ ``pos_iou`` wins; if none qualifies the last candidate is kept
+    regardless (the reference's loop-exhaustion behavior), so foreground
+    RoIs keep a foreground-shaped IoU distribution instead of degenerating
+    to zero-IoU "foregrounds" under one-shot jitter.
+
+    ``fg`` (bool mask) limits non-foreground RoIs to a single attempt
+    (reference: bg aug_times = 1). Without ``gt_of_rois`` the first
+    candidate is returned unconditionally (pure jitter).
+    """
+    r = rois.shape[0]
+    k_keep, k_loc, k_size, k_yaw = jax.random.split(rng, 4)
+    keep = jax.random.uniform(k_keep, (r, attempts)) < keep_prob
+    loc_shift = jax.random.uniform(
+        k_loc, (r, attempts, 3), minval=-loc_range, maxval=loc_range
     )
-    yaw = rois[:, 6] + yaw_std * jax.random.normal(k3, rois[:, 6].shape)
-    return jnp.concatenate(
-        [loc, jnp.maximum(size, 0.1), yaw[:, None]], axis=-1
+    size_scale = 1.0 + jax.random.uniform(
+        k_size, (r, attempts, 3), minval=-size_range, maxval=size_range
+    )
+    yaw_shift = jax.random.uniform(
+        k_yaw, (r, attempts), minval=-yaw_range, maxval=yaw_range
+    )
+    cand = jnp.concatenate(
+        [
+            rois[:, None, :3] + loc_shift,
+            jnp.maximum(rois[:, None, 3:6] * size_scale, 0.1),
+            (rois[:, None, 6:7] + yaw_shift[..., None]),
+        ],
+        axis=-1,
     ).astype(rois.dtype)
+    cand = jnp.where(keep[..., None], rois[:, None, :], cand)
+    if gt_of_rois is None:
+        return cand[:, 0]
+
+    iou = _elementwise_iou3d(
+        cand.reshape(r * attempts, 7),
+        jnp.repeat(gt_of_rois, attempts, axis=0),
+    ).reshape(r, attempts)
+    att = (
+        jnp.where(fg, attempts, 1)
+        if fg is not None
+        else jnp.full((r,), attempts, jnp.int32)
+    )
+    allowed = jnp.arange(attempts)[None, :] < att[:, None]
+    ok = (iou >= pos_iou) & allowed
+    first = jnp.argmax(ok, axis=1)
+    chosen = jnp.where(jnp.any(ok, axis=1), first, att - 1)
+    return cand[jnp.arange(r), chosen]
 
 
 def canonical_transform(pooled_xyz, rois):

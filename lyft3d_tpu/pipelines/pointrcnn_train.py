@@ -470,11 +470,18 @@ def train_rcnn_online(
         props = proposal_layer(xyz, out["cls"], out["reg"], valid, cfg)
         rois = props["rois"]
         k_noise, k_tgt = jax.random.split(key)
-        if roi_noise:
-            rois = aug_rois_with_noise(rois, k_noise)
+        # Reference order (sample_rois_for_rcnn): assign + sample first,
+        # then IoU-controlled noise on the kept RoIs vs their assigned GT
+        # (fg: up to roi_fg_aug_times attempts; bg: one).
         tgts = proposal_target_layer(
             rois, props["roi_valid"], gt, gt_valid, cfg, k_tgt
         )
+        if roi_noise:
+            rois = aug_rois_with_noise(
+                rois, k_noise, gt_of_rois=gt[tgts["assigned_gt"]],
+                fg=tgts["fg"], pos_iou=cfg.fg_iou,
+                attempts=cfg.roi_fg_aug_times,
+            )
         pooled, counts, empty = roi_pool3d(
             xyz, out["point_features"], valid, rois,
             num_sampled=cfg.roi_points, extra_width=cfg.roi_extra_width,

@@ -169,6 +169,106 @@ class TestLabelsAndTargets:
         assert fg[0] and fg[1] and not fg[2]
         assert np.asarray(out["keep"]).all()
 
+    def test_proposal_target_random_sampling_and_hard_bg(self):
+        """Randomized fg/bg subsampling + hard-bg mining
+        (proposal_target_layer.py:79-211): the rng changes the sample, and
+        hard backgrounds get ~hard_bg_ratio of the background quota."""
+        rng = np.random.RandomState(0)
+        gt = jnp.array([[0, 0, 0, 2, 4, 1.6, 0.0]], jnp.float32)
+        # 20 fg (small jitter), 30 hard bg (overlapping but IoU < 0.45),
+        # 30 easy bg (far away) — all quotas oversubscribed.
+        fg_rois = np.tile([0, 0, 0, 2, 4, 1.6, 0.0], (20, 1))
+        fg_rois[:, 0] += rng.uniform(-0.05, 0.05, 20)
+        hard_rois = np.tile([1.2, 0.6, 0, 2, 4, 1.6, 0.0], (30, 1))
+        easy_rois = np.tile([30, 30, 0, 2, 4, 1.6, 0.0], (30, 1))
+        rois = jnp.asarray(
+            np.vstack([fg_rois, hard_rois, easy_rois]), jnp.float32
+        )
+        valid = jnp.ones(80, bool)
+        cfg = TINY  # rois_per_image=8, fg_fraction=0.5, hard_bg_ratio=0.8
+        out1 = proposal_target_layer(
+            rois, valid, gt, jnp.array([True]), cfg, jax.random.PRNGKey(1)
+        )
+        out2 = proposal_target_layer(
+            rois, valid, gt, jnp.array([True]), cfg, jax.random.PRNGKey(2)
+        )
+        k1, k2 = np.asarray(out1["keep"]), np.asarray(out2["keep"])
+        # Quotas: 4 fg + 4 bg; bg = floor(4·0.8)=3 hard + 1 easy.
+        for out in (out1, out2):
+            keep = np.asarray(out["keep"])
+            fg = np.asarray(out["fg"])
+            assert keep.sum() == cfg.rois_per_image
+            assert fg.sum() == 4 and fg[:20].sum() == 4
+            assert keep[20:50].sum() == 3  # hard bg
+            assert keep[50:].sum() == 1  # easy bg
+        # The rng argument is USED: different keys pick different subsets.
+        assert (k1 != k2).any()
+
+    def test_proposal_target_hard_bg_spill(self):
+        """When one bg pool runs short, the quota spills to the other."""
+        gt = jnp.array([[0, 0, 0, 2, 4, 1.6, 0.0]], jnp.float32)
+        # 10 fg, NO hard bg, 30 easy bg → all 4 bg slots go easy.
+        fg_rois = np.tile([0, 0, 0, 2, 4, 1.6, 0.0], (10, 1))
+        easy_rois = np.tile([30, 30, 0, 2, 4, 1.6, 0.0], (30, 1))
+        rois = jnp.asarray(np.vstack([fg_rois, easy_rois]), jnp.float32)
+        out = proposal_target_layer(
+            rois, jnp.ones(40, bool), gt, jnp.array([True]), TINY,
+            jax.random.PRNGKey(0),
+        )
+        keep = np.asarray(out["keep"])
+        assert keep.sum() == TINY.rois_per_image
+        assert keep[10:].sum() == 4
+
+    def test_aug_rois_iou_controlled(self):
+        """IoU-controlled RoI noise (aug_roi_by_noise_torch:213-240): fg
+        RoIs keep IoU ≥ pos_iou with their assigned GT (bounded resampling
+        finds a qualifying candidate w.h.p.), and the rng changes the
+        perturbation."""
+        from lyft3d_tpu.models.pointrcnn.net import (
+            _elementwise_iou3d,
+            aug_rois_with_noise,
+        )
+
+        n = 32
+        rois = jnp.asarray(
+            np.tile([0, 0, 0, 2.0, 4.0, 1.6, 0.0], (n, 1)), jnp.float32
+        )
+        gt = rois  # each roi's assigned gt = itself (IoU 1 pre-noise)
+        fg = jnp.ones(n, bool)
+        out = aug_rois_with_noise(
+            rois, jax.random.PRNGKey(0), gt_of_rois=gt, fg=fg,
+            pos_iou=0.55, attempts=10,
+        )
+        iou = np.asarray(_elementwise_iou3d(out, gt))
+        # ≥90% of fg rois retain a qualifying candidate within 10 attempts
+        # (the reference keeps the last attempt regardless, so a small
+        # failure fraction is expected and allowed).
+        assert (iou >= 0.55).mean() >= 0.9
+        # Noise actually applied (not all boxes identical to the input).
+        assert np.abs(np.asarray(out) - np.asarray(rois)).max() > 1e-3
+        out2 = aug_rois_with_noise(
+            rois, jax.random.PRNGKey(7), gt_of_rois=gt, fg=fg,
+            pos_iou=0.55, attempts=10,
+        )
+        assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+
+    def test_aug_rois_bg_single_attempt(self):
+        """Non-fg RoIs get exactly one attempt (reference bg aug_times=1):
+        with keep_prob=0 the output equals candidate 0 regardless of IoU."""
+        from lyft3d_tpu.models.pointrcnn.net import aug_rois_with_noise
+
+        n = 8
+        rois = jnp.asarray(
+            np.tile([0, 0, 0, 2.0, 4.0, 1.6, 0.0], (n, 1)), jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        ctl = aug_rois_with_noise(rois, key, keep_prob=0.0)  # candidate 0
+        out = aug_rois_with_noise(
+            rois, key, gt_of_rois=rois, fg=jnp.zeros(n, bool),
+            pos_iou=0.99, attempts=10, keep_prob=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ctl), atol=1e-6)
+
     def test_canonical_transform(self):
         rois = jnp.array([[1.0, 2.0, 0.5, 2, 4, 1.6, np.pi / 2]], jnp.float32)
         pts = jnp.array([[[1.0, 3.0, 0.5]]], jnp.float32)  # 1m ahead along +y
