@@ -59,6 +59,20 @@ class SubMConvLayer(nn.Module):
                 active, hash_, kernel_offsets(self.kernel_size)
             )
         if self.fused == "pallas":
+            # The fused kernel is interpret-mode-only on the current Mosaic
+            # toolchain (see ops/subm_conv_kernel.py header): compiled TPU
+            # lowering of table-scale in-kernel row gathers crashes the
+            # backend. Refuse loudly instead of crashing mid-train; the
+            # production sparse path is SparseMiddleColumns
+            # (ops.column_sparse), and this per-voxel formulation's
+            # supported modes are "xla" / "auto".
+            if jax.default_backend() == "tpu":
+                raise NotImplementedError(
+                    "SubMConvLayer(fused='pallas') cannot compile on TPU "
+                    "(Mosaic lacks table-scale in-kernel row gathers; see "
+                    "ops/subm_conv_kernel.py). Use fused='xla' (or 'auto'),"
+                    " or the column-sparse middle (middle='sparse_columns')."
+                )
             from lyft3d_tpu.ops.subm_conv_kernel import subm_conv_pallas
 
             # ranks index SORTED order; the ranks' V axis is active-list
@@ -244,6 +258,12 @@ class SparseMiddle(nn.Module):
 
     ``stage_features`` and ``stage_max_voxels`` size each stage; strides
     default to (2, 2, 2) per stage like the reference's ds_factor=8.
+
+    REFERENCE IMPLEMENTATION: the per-voxel gather-einsum formulation is
+    kept for A/B and equivalence testing (tests/test_column_sparse.py
+    checks SparseMiddleColumns against it); the production sparse path is
+    ``SparseMiddleColumns`` (config ``middle: sparse_columns``), measured
+    ~2x faster at FHD scale on v5e-1.
     """
 
     stage_features: Sequence[int] = (16, 32, 64)

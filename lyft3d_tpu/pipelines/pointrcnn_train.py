@@ -207,8 +207,14 @@ def train_pointrcnn_rpn(
     lr: float = 2e-3,
     num_parts: int = 4,
     seed: int = 0,
+    num_workers: int = 4,
 ):
-    """RPN training with the reference's 4-part round-robin over the split."""
+    """RPN training with the reference's 4-part round-robin over the split.
+
+    Sample assembly runs on ``num_workers`` prefetch threads (the
+    reference's DataLoader workers, train_rcnn.py:80-105) — the schedule of
+    stem picks is deterministic given ``seed``, so the parallel map changes
+    nothing about which batches train."""
     model = PointRCNN_RPN(cfg)
     b0 = loader.batch(loader.stems[:batch_size])
     params = jax.jit(model.init)(
@@ -223,24 +229,28 @@ def train_pointrcnn_rpn(
 
     parts = split_parts(loader.stems, num_parts)
     rng = np.random.RandomState(seed)
-    losses = []
-    i = 0
-    while i < steps:
+    schedule = []
+    while len(schedule) < steps:
         for part in parts:  # round-robin (train_rcnn.py:288-342)
             stems = list(part)
             if not stems:  # fewer frames than parts
                 continue
             rng.shuffle(stems)
             for j in range(0, max(len(stems) - batch_size + 1, 1), batch_size):
-                if i >= steps:
+                if len(schedule) >= steps:
                     break
-                picked = stems[j : j + batch_size] or stems[:1]
-                batch = {
-                    k: jnp.asarray(v) for k, v in loader.batch(picked).items()
-                }
-                params, opt_state, loss, metrics = step(params, opt_state, batch)
-                losses.append(float(loss))
-                i += 1
+                schedule.append(stems[j : j + batch_size] or stems[:1])
+
+    from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+    batches = MappedPrefetcher(
+        lambda: iter(schedule), loader.batch, num_workers=num_workers
+    )
+    losses = []
+    for batch_np in batches:
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        params, opt_state, loss, metrics = step(params, opt_state, batch)
+        losses.append(float(loss))
     return model, params, losses
 
 
@@ -511,10 +521,16 @@ def train_rcnn_online(
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.RandomState(seed)
+    # Deterministic pick schedule → parallel sample assembly on prefetch
+    # threads (the reference's DataLoader workers, train_rcnn.py:80-105).
+    picks = [loader.stems[rng.randint(len(loader.stems))] for _ in range(steps)]
+
+    from lyft3d_tpu.data.prefetch import MappedPrefetcher
+
+    samples = MappedPrefetcher(lambda: iter(picks), loader.sample,
+                               num_workers=4)
     losses = []
-    for i in range(steps):
-        stem = loader.stems[rng.randint(len(loader.stems))]
-        s = loader.sample(stem)
+    for i, s in enumerate(samples):
         gt = jnp.asarray(s["gt_boxes"])
         roi_pts, counts, rois, tgts = stage1(
             jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]),

@@ -31,6 +31,8 @@ __all__ = [
     "restore_latest",
     "restore",
     "partial_restore",
+    "list_checkpoints",
+    "repeat_eval_checkpoints",
 ]
 
 _REGISTRY = "checkpoints.json"
@@ -129,3 +131,72 @@ def partial_restore(params, donor_params, include: Optional[str] = None,
         print(f"partial_restore: copied {len(copied)}/{len(flat[0])} leaves")
     leaves = [out[path] for path, _ in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def list_checkpoints(model_dir, name: str = "model") -> List[Path]:
+    """All registered checkpoints for ``name``, oldest first."""
+    model_dir = Path(model_dir)
+    reg = _read_registry(model_dir)
+    return [
+        model_dir / f
+        for f in reg["checkpoints"].get(name, [])
+        if (model_dir / f).exists()
+    ]
+
+
+def repeat_eval_checkpoints(
+    model_dir,
+    eval_fn,
+    name: str = "model",
+    poll_interval: float = 1.0,
+    max_idle_polls: int = 5,
+    record_file: str = "eval_done.json",
+) -> Dict[int, Any]:
+    """Checkpoint-watching repeat eval (``repeat_eval_ckpt``,
+    PointRCNN/tools/eval_rcnn.py:793): poll the registry, evaluate every
+    not-yet-evaluated checkpoint in step order via ``eval_fn(path, step)``,
+    and persist the evaluated-step record to ``record_file`` in the model
+    dir (the reference's ``eval_list_*.txt``) so restarts skip finished
+    work. Stops after ``max_idle_polls`` consecutive polls that surface no
+    new checkpoint (the reference's wait-minutes cap).
+
+    Returns {step: eval_fn result} for the checkpoints evaluated THIS call.
+    """
+    import time as _time
+
+    model_dir = Path(model_dir)
+    rec_path = model_dir / record_file
+    done = set()
+    if rec_path.exists():
+        with open(rec_path) as f:
+            done = set(json.load(f).get(name, []))
+    results: Dict[int, Any] = {}
+    idle = 0
+    pat = re.compile(rf"{re.escape(name)}-(\d+)\.ckpt")
+    while idle < max_idle_polls:
+        fresh = []
+        for path in list_checkpoints(model_dir, name):
+            m = pat.match(path.name)
+            if not m:
+                continue
+            step = int(m.group(1))
+            if step not in done:
+                fresh.append((step, path))
+        if not fresh:
+            idle += 1
+            _time.sleep(poll_interval)
+            continue
+        idle = 0
+        for step, path in sorted(fresh):
+            results[step] = eval_fn(path, step)
+            done.add(step)
+            rec = {}
+            if rec_path.exists():
+                with open(rec_path) as f:
+                    rec = json.load(f)
+            rec[name] = sorted(done)
+            tmp = model_dir / (record_file + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, rec_path)
+    return results

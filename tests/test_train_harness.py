@@ -140,6 +140,29 @@ class TestCheckpoint:
         back, step = ckpt.restore_latest(tmp_path, state)
         assert step is None
 
+    def test_repeat_eval_checkpoints(self, tmp_path):
+        """Checkpoint-watching repeat eval (repeat_eval_ckpt,
+        eval_rcnn.py:793): every registered ckpt evaluated once, in step
+        order; the persisted record makes a second watch skip them."""
+        state = {"w": jnp.zeros(2)}
+        for s in (10, 20):
+            ckpt.save(tmp_path, state, global_step=s)
+        seen = []
+        out = ckpt.repeat_eval_checkpoints(
+            tmp_path, lambda path, step: seen.append(step) or step * 2,
+            poll_interval=0.01, max_idle_polls=2,
+        )
+        assert seen == [10, 20]
+        assert out == {10: 20, 20: 40}
+        # New ckpt appears: only it is evaluated on the next watch.
+        ckpt.save(tmp_path, state, global_step=30)
+        seen2 = []
+        out2 = ckpt.repeat_eval_checkpoints(
+            tmp_path, lambda path, step: seen2.append(step) or step,
+            poll_interval=0.01, max_idle_polls=2,
+        )
+        assert seen2 == [30] and out2 == {30: 30}
+
     def test_partial_restore(self):
         params = {"a": jnp.zeros(3), "b": jnp.zeros(2), "head": jnp.zeros(5)}
         donor = {"a": jnp.ones(3), "b": jnp.ones(4), "head": jnp.ones(5)}
