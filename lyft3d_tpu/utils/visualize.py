@@ -20,6 +20,8 @@ __all__ = [
     "bev_debug_image",
     "map_pointcloud_to_image",
     "render_pointcloud_in_image",
+    "draw_box_edges_cv2",
+    "render_boxes_in_image",
 ]
 
 _CLASS_COLORS = [
@@ -139,6 +141,74 @@ def render_pointcloud_in_image(
             color = (int(255 * (1 - ti)), 64, int(255 * ti))  # near=red → far=blue
             cv2.circle(img, (int(u), int(v)), dot_radius, color, -1)
     return img
+
+
+def draw_box_edges_cv2(image: np.ndarray, corners2d: np.ndarray,
+                       color: Tuple[int, int, int] = (0, 255, 0),
+                       thickness: int = 2) -> None:
+    """Draw a projected 3D box's 12 edges + front-face cross in place.
+
+    ``corners2d``: (2, 8) pixel coords in ``core.box.Box.corners`` order
+    (first four = +x/front face, last four = −x face) — the drawing pattern
+    of the SDK's ``Box.render_cv2`` (``utils/data_classes.py:683-720``).
+    """
+    import cv2
+
+    c = corners2d.T.astype(int)
+
+    def line(a, b):
+        cv2.line(image, tuple(c[a]), tuple(c[b]), color, thickness)
+
+    for i in range(4):  # front face, rear face, connecting edges
+        line(i, (i + 1) % 4)
+        line(i + 4, (i + 1) % 4 + 4)
+        line(i, i + 4)
+    # Front-face cross marks heading (render_cv2 draws center-line to front).
+    line(0, 2)
+    line(1, 3)
+
+
+def render_boxes_in_image(
+    db, sample_token: str, camera_channel: str = "CAM_FRONT",
+    boxes=None, color: Tuple[int, int, int] = (0, 255, 0), thickness: int = 2,
+) -> np.ndarray:
+    """Render annotation boxes onto a camera image.
+
+    The explorer's camera branch of ``render_sample_data``
+    (``lyftdataset.py:934-1007``: boxes in the camera sensor frame via
+    ``get_sample_data``, then ``box.render_cv2`` with the camera
+    intrinsic). ``boxes`` overrides the annotation set (e.g. detections as
+    camera-frame ``core.box.Box``); boxes with any corner behind the camera
+    are skipped (BoxVisibility semantics).
+
+    Returns the annotated (H, W, 3) uint8 image.
+    """
+    from PIL import Image
+
+    from lyft3d_tpu.core.geometry import view_points
+
+    sample = db.get("sample", sample_token)
+    cam_token = sample["data"][camera_channel]
+    if boxes is None:
+        boxes = db.get_boxes_in_sensor_frame(cam_token)
+    cam_sd = db.get("sample_data", cam_token)
+    cs = db.get("calibrated_sensor", cam_sd["calibrated_sensor_token"])
+    intrinsic = np.asarray(cs["camera_intrinsic"], np.float64)
+    image = np.asarray(
+        Image.open(db.get_sample_data_path(cam_token)).convert("RGB")
+    ).copy()
+    h, w = image.shape[:2]
+    for box in boxes:
+        corners = box.corners()  # (3, 8) camera frame
+        if (corners[2] <= 0.1).any():  # behind the image plane
+            continue
+        uv = view_points(corners, intrinsic, normalize=True)[:2]
+        if (uv[0] < 0).all() or (uv[0] >= w).all() or (uv[1] < 0).all() or (
+            uv[1] >= h
+        ).all():
+            continue
+        draw_box_edges_cv2(image, uv, color, thickness)
+    return image
 
 
 def bev_debug_image(points, gt_boxes=None, det_boxes=None, extent=80.0,

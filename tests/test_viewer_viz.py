@@ -152,3 +152,34 @@ class TestCameraProjection:
         img = render_pointcloud_in_image(db, sample["token"])
         assert img.shape == image.shape
         assert (img != image).any()  # dots drawn
+
+    def test_render_boxes_in_image(self, tmp_path):
+        """Camera branch of render_sample_data (lyftdataset.py:934): GT
+        boxes projected and drawn onto the camera image."""
+        import numpy as np
+
+        from lyft3d_tpu.core.box import Box
+        from lyft3d_tpu.data.lyftdb import LyftDB
+        from lyft3d_tpu.utils.visualize import render_boxes_in_image
+
+        root = make_synthetic_lyft(tmp_path / "lyft", num_scenes=1, samples_per_scene=2)
+        db = LyftDB(root, root / "data")
+        sample = db.sample[0]
+        plain = render_boxes_in_image(db, sample["token"], boxes=[])
+        img = render_boxes_in_image(
+            db, sample["token"],
+            # A box straight ahead of the camera (camera frame: +z forward).
+            boxes=[Box(center=[0.0, 0.0, 8.0], wlh=[2.0, 4.0, 1.6],
+                       orientation=[1.0, 0, 0, 0])],
+            color=(255, 0, 0),
+        )
+        assert img.shape == plain.shape
+        diff = (img.astype(int) - plain.astype(int)) != 0
+        assert diff.any()  # edges drawn
+        # drawn in the requested color (red channel dominates changed px)
+        changed = np.argwhere(diff.any(-1))
+        assert len(changed) > 50
+
+        # annotation path: uses the db's GT boxes in the camera frame
+        ann = render_boxes_in_image(db, sample["token"])
+        assert ann.shape == plain.shape
