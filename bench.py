@@ -367,10 +367,18 @@ def main() -> None:
     sparse_error = None
     try:
         SP_BATCH = 4
+        import dataclasses
+
         sp_exp = load_yaml(
             SecondExperiment, REPO / "configs" / "second_lyft_9class_sparse.yaml"
         )
         spcfg = voxelnet_config_from_experiment(sp_exp)
+        # Inference uses the FOLDED middle norm structure (conv+bias, no
+        # norm op) — function-preserving vs a BatchNorm-trained middle
+        # after scale/shift folding, mirroring the reference SpMiddleFHD's
+        # BatchNorm1d at eval (middle.py:111-212). Same policy as the BEV
+        # flagship's folded-BN inference path.
+        spcfg = dataclasses.replace(spcfg, middle_norm="folded")
         spnet = VoxelNet(spcfg)
         sp_pts = jnp.asarray(
             np.stack(

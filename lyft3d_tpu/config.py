@@ -227,6 +227,8 @@ class SecondExperiment:
     # (SpMiddleFHD's downsample chain, second/pytorch/models/middle.py).
     middle_features: Tuple[int, ...] = (16, 32, 64)
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
+    # Column-middle norm structure: layer | batch | folded (inference).
+    middle_norm: str = "layer"
     similarity: str = "nearest"  # anchor matching: nearest | rotated
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
     # RPN topology (all.fhd.config rpn block: layer_nums, layer_strides,

@@ -143,25 +143,59 @@ def sparse_to_dense_bev(features, active: ActiveSet):
     )
 
 
+def _column_norm_act(module: nn.Module, out, mask, norm_type: str, dtype):
+    """Shared norm + ReLU + activity masking for the column layers.
+
+    ``norm_type`` (SpMiddleFHD interleaves BatchNorm1d, middle.py:111-212):
+    - "layer": LayerNorm over channels (pure-function train step).
+    - "batch": BatchNorm with running stats (the reference's choice; train
+      applies need ``mutable=["batch_stats"]``). Stats are computed over
+      ACTIVE voxels only (inactive entries are zero-masked before the
+      norm, matching spconv's feature-row semantics approximately).
+    - "folded": inference-only conv+bias structure — no norm op (the
+      BN-folds-into-conv deployment win; see models/fold_bn.py).
+    """
+    if norm_type == "layer":
+        out = nn.LayerNorm(dtype=dtype)(out.astype(dtype))
+    elif norm_type == "batch":
+        out = nn.BatchNorm(
+            use_running_average=not module.is_mutable_collection(
+                "batch_stats"
+            ),
+            dtype=dtype,
+            name="BatchNorm_0",
+        )(out.astype(dtype))
+    elif norm_type == "folded":
+        bias = module.param(
+            "bias", nn.initializers.zeros, (out.shape[-1],), jnp.float32
+        )
+        out = out.astype(dtype) + bias.astype(dtype)
+    else:
+        raise ValueError(f"unknown norm_type {norm_type!r}")
+    return nn.relu(out) * mask[..., None].astype(dtype)
+
+
 class SubMColumnLayer(nn.Module):
-    """Submanifold conv + LayerNorm + ReLU in the BEV-column formulation
+    """Submanifold conv + norm + ReLU in the BEV-column formulation
     (``ops.column_sparse``). Natively BATCHED: the fused stencil kernel's
     window-coverage fallback is one batch-level ``lax.cond``, which must
     sit outside any vmap (a vmapped cond becomes a select that executes
-    both branches)."""
+    both branches). Neighbor matching is by column id inside the kernel —
+    no precomputed neighbor ranks."""
 
     features: int
     dtype: Any = jnp.bfloat16
     method: str = "auto"
+    norm_type: str = "layer"  # "layer" | "batch" | "folded"
     # Kernel tiling (see stencil_conv_batched): the window must cover a
-    # whole tile's rank span or the coverage check trips the (slow) ref
+    # whole tile's hit span or the coverage check trips the (slow) ref
     # fallback; full-middle sweep on v5e-1 picked t256/w384 (smaller
     # windows regress 240-370 ms vs 213 ms at FHD batch 4).
     t_tile: int = 256
     w_win: int = 384
 
     @nn.compact
-    def __call__(self, colf, cols, neighbors):
+    def __call__(self, colf, cols):
         from lyft3d_tpu.ops.column_sparse import subm_conv_columns_batched
 
         cin = colf.shape[-1]
@@ -170,11 +204,11 @@ class SubMColumnLayer(nn.Module):
             (27, cin, self.features), jnp.float32,
         ).astype(self.dtype)
         out = subm_conv_columns_batched(
-            colf.astype(self.dtype), cols, neighbors, w, method=self.method,
+            colf.astype(self.dtype), cols, w, method=self.method,
             t_tile=self.t_tile, w_win=self.w_win,
         )
-        out = nn.LayerNorm(dtype=self.dtype)(out.astype(self.dtype))
-        return nn.relu(out) * cols.mask[..., None].astype(self.dtype)
+        return _column_norm_act(self, out, cols.mask, self.norm_type,
+                                self.dtype)
 
 
 class StridedColumnLayer(nn.Module):
@@ -185,7 +219,8 @@ class StridedColumnLayer(nn.Module):
     max_out: int
     dtype: Any = jnp.bfloat16
     method: str = "auto"
-    # Strided queries stride 2 over the input ranks, so per-tile rank
+    norm_type: str = "layer"
+    # Strided queries stride 2 over the input positions, so per-tile hit
     # spans are ~2× a subm layer's: w_win ≈ 2·t_tile keeps the coverage
     # check from tripping the lax.cond fallback. t128/w256 won the
     # full-middle sweep (213 ms vs 234 at t256/w384, FHD batch 4, v5e-1).
@@ -212,8 +247,8 @@ class StridedColumnLayer(nn.Module):
             t_tile=self.t_tile, w_win=self.w_win,
         )
         out_cols = out_cols.replace(mask=omask)
-        out = nn.LayerNorm(dtype=self.dtype)(out.astype(self.dtype))
-        out = nn.relu(out) * out_cols.mask[..., None].astype(self.dtype)
+        out = _column_norm_act(self, out, out_cols.mask, self.norm_type,
+                               self.dtype)
         return out, out_cols
 
 
@@ -228,11 +263,11 @@ class SparseMiddleColumns(nn.Module):
     subm_per_stage: int = 2
     dtype: Any = jnp.bfloat16
     method: str = "auto"
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, features, active: ActiveSet):
         from lyft3d_tpu.ops.column_sparse import (
-            column_neighbors,
             columns_from_voxels,
             columns_to_dense_bev,
         )
@@ -241,13 +276,14 @@ class SparseMiddleColumns(nn.Module):
             features.astype(self.dtype), active
         )
         for f, mo in zip(self.stage_features, self.stage_max_voxels):
-            neighbors = jax.vmap(column_neighbors)(cols)
             for _ in range(self.subm_per_stage):
                 x = SubMColumnLayer(
-                    f, dtype=self.dtype, method=self.method
-                )(x, cols, neighbors)
+                    f, dtype=self.dtype, method=self.method,
+                    norm_type=self.norm_type,
+                )(x, cols)
             x, cols = StridedColumnLayer(
-                f, max_out=mo, dtype=self.dtype, method=self.method
+                f, max_out=mo, dtype=self.dtype, method=self.method,
+                norm_type=self.norm_type,
             )(x, cols)
         return jax.vmap(columns_to_dense_bev)(x, cols), cols
 

@@ -49,6 +49,11 @@ class VoxelNetConfig:
     middle: str = "scatter"
     middle_features: Tuple[int, ...] = (16, 32, 64)
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
+    # Norm structure of the column-sparse middle layers: "layer" (default),
+    # "batch" (the reference SpMiddleFHD's BatchNorm1d; train applies need
+    # mutable=["batch_stats"]), or "folded" (inference conv+bias — the
+    # BN-folds-into-conv deployment structure).
+    middle_norm: str = "layer"
     anchor_specs: Tuple[AnchorSpec, ...] = (
         AnchorSpec(size=(1.93, 4.76, 1.72), z_center=-1.0,
                    matched_threshold=0.6, unmatched_threshold=0.45),
@@ -166,6 +171,7 @@ class VoxelNet(nn.Module):
                 stage_features=cfg.middle_features,
                 stage_max_voxels=cfg.middle_max_voxels,
                 dtype=self.dtype,
+                norm_type=cfg.middle_norm,
             )(feats, active)
             bev = bev3
         elif cfg.middle == "sparse":

@@ -53,6 +53,9 @@ __all__ = [
     "columns_to_dense_bev",
     "subm_conv_columns_batched",
     "strided_conv_columns_batched",
+    "subm_qids_one",
+    "stencil_conv_batched",
+    "PAD_ID",
 ]
 
 
@@ -321,18 +324,35 @@ def columns_to_dense_bev(colf, cols: ColumnSet):
 #     (16, 128) tiles — ~10× HBM amplification);
 #   - the full-band (672,)→(640,) matmuls run 14× redundant FLOPs;
 #   - 9 separate f32 accumulations round-trip the (V, 640) output ~11 GB.
-# Here (per grid tile of T query columns): the neighbor ranks of one dy-band
-# are monotone over the sorted column ids, so one contiguous (W, P) window
-# per band covers all its hits; windows are pre-sliced (sequential reads)
-# and streamed to VMEM, each offset's rows come out of the window as a
-# (T, W) one-hot MXU matmul (the dense-fill trick), and the z-chunked band
-# weights (K≈256 per chunk) contract in-kernel with a single f32
-# accumulator. Escapes (a rank outside its window — possible only under
+# Here (per grid tile of T query columns): the neighbor positions of one
+# dy-band are monotone over the sorted column ids, so one contiguous (W, P)
+# window per band covers all its hits; windows are pre-sliced (sequential
+# reads) and streamed to VMEM, each offset's rows come out of the window by
+# matching COLUMN IDS on the MXU (one-hot = window-id == query-id + offset
+# shift), and the z-chunked band weights (K≈256 per chunk) contract
+# in-kernel with a single f32 accumulator.
+#
+# ID MATCHING (round 3): each BEV stencil offset (dx, dy) is a CONSTANT
+# flat-id shift dy·nx + dx, so neighbor queries are pure arithmetic on the
+# sorted column ids and the kernel matches ids directly against the
+# window's id slice. This removed the per-layer `resolve_ids` passes
+# entirely — the merge-sort rank resolution measured 17-25 ms per call at
+# FHD stage-0 scale (9×60k queries, batch 4), the single biggest
+# non-matmul cost in the round-2 profile. What remains outside the kernel
+# is one tiny searchsorted per tile-band for window starts (~700 queries)
+# and contiguous dynamic-slice reads of the id windows.
+#
+# Escapes (a band's hit span exceeding its window — possible only under
 # adversarial column layouts) are detected outside and the whole batch
 # falls back to the exact XLA reference via one lax.cond.
 # ---------------------------------------------------------------------------
 
 _TARGET_K = 256
+
+# Padding value for absent source ids: larger than any real BEV flat id
+# (nx·ny ≤ 2^22 at FHD) yet safe to double inside lookup_batch's id·2+tag
+# packing in int32.
+PAD_ID = 2 ** 28
 
 
 class _ChunkPlan(NamedTuple):
@@ -379,28 +399,56 @@ def _chunk_weights(w93, plan: _ChunkPlan, stride: int):
     return jnp.pad(wb, ((0, 0), (0, plan.kzp - plan.kz), (0, 0)))
 
 
-def _stencil_ref(src, ranks, wc, nc: int):
+def subm_qids_one(cols: ColumnSet):
+    """(9, Vc) neighbor query IDS for the submanifold stencil — pure
+    arithmetic (each offset is the constant id shift dy·nx + dx); −1 where
+    absent/out of bounds. No rank resolution."""
+    nx, ny = cols.bev_shape
+    offs = _bev_offsets2d()
+    q = cols.coords[None, :, :] + offs[:, None, :]
+    inb = (
+        cols.valid[None, :]
+        & (q[..., 0] >= 0) & (q[..., 0] < nx)
+        & (q[..., 1] >= 0) & (q[..., 1] < ny)
+    )
+    return jnp.where(inb, q[..., 1] * nx + q[..., 0], -1)
+
+
+def _lookup_ranks(src_ids, qids):
+    """(9, Q) query ids (−1 absent) → sorted-order ranks via the batched
+    merge (ops.sparse_conv.lookup_batch). Only used by the XLA reference
+    path / cond fallback and the weight-gradient gather — the fused kernel
+    matches ids directly."""
+    from lyft3d_tpu.ops.sparse_conv import lookup_batch
+
+    big = jnp.int32(PAD_ID)
+    ok = qids >= 0
+    return lookup_batch(src_ids, big, jnp.where(ok, qids, big), ok)
+
+
+def _stencil_ref_ids(src, qids, src_ids, wc, nc: int):
     """Exact XLA reference (and cond fallback / VJP primal) of the kernel.
 
-    src: (Vs, nc·kzp) chunked rows; ranks: (9, Vq); wc: (9, kzp, N).
-    Returns (Vq, nc·N) f32."""
+    src: (Vs, nc·kzp) chunked rows; qids: (9, Vq) neighbor ids; src_ids:
+    (Vs,) ascending ids; wc: (9, kzp, N). Returns (Vq, nc·N) f32."""
     vs = src.shape[0]
     kzp = wc.shape[1]
+    ranks = _lookup_ranks(src_ids, qids)
     ok = ranks >= 0
     g = src[jnp.clip(ranks, 0, vs - 1)] * ok[..., None].astype(src.dtype)
-    g = g.reshape(9, ranks.shape[1], nc, kzp)
+    g = g.reshape(9, qids.shape[1], nc, kzp)
     out = jnp.einsum("jvck,jkn->vcn", g, wc.astype(src.dtype),
                      preferred_element_type=jnp.float32)
-    return out.reshape(ranks.shape[1], -1)
+    return out.reshape(qids.shape[1], -1)
 
 
-def _stencil_kernel(st_ref, loc_ref, src_ref, w_ref, out_ref, win, sems,
-                    *, nc: int, kzp: int, w_win: int):
+def _stencil_kernel(st_ref, qid_ref, wid_ref, src_ref, w_ref, out_ref, win,
+                    sems, *, nc: int, kzp: int, w_win: int):
     """One query tile: DMA the 3 band windows straight from HBM
-    (double-buffered across grid steps), then 9 × (one-hot row-select on
-    the MXU + z-chunked band contraction) into a single f32 accumulator.
-    The one-hot never exists in HBM and neither do the windows — HBM sees
-    sequential window reads and one output write per tile."""
+    (double-buffered across grid steps), then 9 × (id-match one-hot
+    row-select on the MXU + z-chunked band contraction) into a single f32
+    accumulator. The one-hot never exists in HBM and neither do the
+    windows — HBM sees sequential window reads and one output write."""
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     tt = out_ref.shape[0]
@@ -431,13 +479,14 @@ def _stencil_kernel(st_ref, loc_ref, src_ref, w_ref, out_ref, win, sems,
             sems.at[slot, b],
         ).wait()
 
-    loc = loc_ref[0]  # (9, T); T on lanes — (T, 9) would lane-pad 9 → 128
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tt, w_win), 1)
+    qid = qid_ref[0]  # (9, T); T on lanes — (T, 9) would lane-pad 9 → 128
+    wids = wid_ref[0]  # (3, W) window source ids
     n = w_ref.shape[-1]
     accs = [jnp.zeros((tt, n), jnp.float32) for _ in range(nc)]
     for j in range(9):
-        lj = loc[j]
-        oh = (iota == lj[:, None]).astype(win.dtype)
+        # One-hot by ID EQUALITY: window ids are unique (sorted source),
+        # absent queries carry −1 and pad rows carry PAD_ID — no match.
+        oh = (wids[j % 3][None, :] == qid[j][:, None]).astype(win.dtype)
         gth = jnp.dot(oh, win[slot, j % 3],
                       preferred_element_type=jnp.float32).astype(win.dtype)
         wj = w_ref[j]
@@ -449,41 +498,47 @@ def _stencil_kernel(st_ref, loc_ref, src_ref, w_ref, out_ref, win, sems,
     out_ref[:] = jnp.concatenate(accs, axis=-1)
 
 
-def _window_prep(src_rows, ranks, t_tile: int, w_win: int):
-    """Per-sample window-start/local-rank prep for the kernel.
+def _window_prep_ids(src_ids, qids, t_tile: int, w_win: int):
+    """Per-sample window-start prep from IDS (no ranks).
 
-    src_rows: the number of source rows (static int — starts are clipped
-    so the kernel's (W,)-row DMA stays within src padded by W rows).
-    Returns (loc (NT, 9, T), starts (NT, 3), ok scalar bool)."""
-    vq = ranks.shape[1]
+    src_ids: (Vs,) ascending ids (invalid tail ≥ PAD_ID or any value above
+    every valid query id); qids: (9, Vq) (−1 absent). Band b = j % 3 (the
+    dy index) shares one window; its start is the position of the band's
+    least query id — found with a TINY searchsorted (3·NT queries), the
+    only position lookup left in the fused path.
+
+    Returns (qt (NT, 9, T), starts (NT, 3), ok scalar bool).
+    """
+    vq = qids.shape[1]
+    vs = src_ids.shape[0]
     nt = -(-vq // t_tile)
     vqp = nt * t_tile
-    rk = jnp.pad(ranks, ((0, 0), (0, vqp - vq)), constant_values=-1)
-    rk = rk.reshape(9, nt, t_tile)
+    qk = jnp.pad(qids, ((0, 0), (0, vqp - vq)), constant_values=-1)
+    qk = qk.reshape(9, nt, t_tile)
     big = jnp.int32(2 ** 30)
-    # Band b = j % 3 (the dy index in kernel_offsets order) shares one
-    # window; its start is the least valid rank over the band's offsets.
     starts = []
+    oks = []
     for b in range(3):
-        rb = rk[b::3]  # (3, nt, T)
-        s = jnp.min(jnp.where(rb >= 0, rb, big), axis=(0, 2))  # (nt,)
+        qb = qk[b::3]  # (3, nt, T)
+        lo = jnp.min(jnp.where(qb >= 0, qb, big), axis=(0, 2))  # (nt,)
+        hi = jnp.max(qb, axis=(0, 2))  # (nt,) — −1 if band empty
+        s = jnp.searchsorted(src_ids, lo).astype(jnp.int32)
+        e = jnp.searchsorted(src_ids, hi, side="right").astype(jnp.int32)
         # Mosaic requires dynamic sublane-dim DMA starts divisible by the
         # (8, 128) tiling; round down (w_win carries the +7 slack).
-        s = (jnp.clip(s, 0, max(src_rows, 1)) // 8) * 8
+        s = (jnp.clip(s, 0, vs) // 8) * 8
         starts.append(s)
-    s3 = jnp.stack(starts)  # (3, nt)
-    loc = rk - s3[jnp.arange(9) % 3][:, :, None]
-    loc = jnp.where(rk >= 0, loc, -1)
-    ok = jnp.all(loc < w_win)
-    return loc.transpose(1, 0, 2), s3.T, ok
+        oks.append(jnp.where(hi >= 0, e - s <= w_win, True))
+    ok = jnp.all(jnp.stack(oks))
+    return qk.transpose(1, 0, 2), jnp.stack(starts).T, ok
 
 
-def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
-                         interpret: bool):
+def _stencil_pallas_flat(qt, starts, win_ids, src_flat, wc, nc: int,
+                         w_win: int, interpret: bool):
     """Flattened-batch kernel launch: grid = B·NT tiles; per-batch source
     offsets are already folded into ``starts`` (batch b's rows live at
     [b·Vsp, (b+1)·Vsp) of ``src_flat``)."""
-    g, _, tt = loc.shape
+    g, _, tt = qt.shape
     pp = src_flat.shape[-1]
     n = wc.shape[-1]
     kzp = wc.shape[1]
@@ -494,6 +549,7 @@ def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
             grid=(g,),
             in_specs=[
                 pl.BlockSpec((1, 9, tt), lambda t, st: (t, 0, 0)),
+                pl.BlockSpec((1, 3, w_win), lambda t, st: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((9, kzp, n), lambda t, st: (0, 0, 0)),
             ],
@@ -505,44 +561,58 @@ def _stencil_pallas_flat(loc, starts, src_flat, wc, nc: int, w_win: int,
         ),
         out_shape=jax.ShapeDtypeStruct((g * tt, nc * n), jnp.float32),
         interpret=interpret,
-    )(starts, loc, src_flat, wc)
+    )(starts, qt, win_ids, src_flat, wc)
 
 
-def _stencil_run(src, ranks, wc, nc: int, t_tile: int, w_win: int,
+def _stencil_run(src, qids, src_ids, wc, nc: int, t_tile: int, w_win: int,
                  method: str):
     """The stencil conv proper (no custom VJP) — shared by the forward
-    and, with reversed ranks + transposed band weights, the backward."""
-    b, _, vq = ranks.shape
+    and, with reverse queries + transposed band weights, the backward."""
+    b, _, vq = qids.shape
     vs = src.shape[1]
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "ref"
     wc_c = wc.astype(src.dtype)
     if method == "ref":
-        return jax.vmap(lambda s, r: _stencil_ref(s, r, wc_c, nc))(src, ranks)
+        return jax.vmap(
+            lambda s, q, i: _stencil_ref_ids(s, q, i, wc_c, nc)
+        )(src, qids, src_ids)
     interpret = method == "pallas_interpret"
     t_eff = min(t_tile, -(-vq // 8) * 8)
     # +8: window starts are rounded down to 8-row alignment in
-    # _window_prep (Mosaic dynamic-DMA constraint).
+    # _window_prep_ids (Mosaic dynamic-DMA constraint).
     w_eff = -(-min(w_win, vs + t_tile) // 8) * 8 + 8
-    loc, starts, ok = jax.vmap(
-        lambda r: _window_prep(vs, r, t_eff, w_eff)
-    )(ranks)
-    nt = loc.shape[1]
+    qt, starts, ok = jax.vmap(
+        lambda i, q: _window_prep_ids(i, q, t_eff, w_eff)
+    )(src_ids, qids)
+    nt = qt.shape[1]
     # Multiple of 8 so batch-offset starts stay 8-aligned when flattened.
     vsp = -(-(vs + w_eff) // 8) * 8
     src_flat = jnp.pad(src, ((0, 0), (0, vsp - vs), (0, 0))).reshape(
         b * vsp, -1
     )
+    # Window id slices (contiguous dynamic_slice reads — the fast path, no
+    # row gather); pad rows carry PAD_ID which matches no query.
+    ids_padded = jnp.pad(src_ids, ((0, 0), (0, vsp + w_eff - vs)),
+                         constant_values=PAD_ID)
+    win_ids = jax.vmap(
+        lambda ids, st: jax.vmap(
+            lambda s3: jax.vmap(
+                lambda s0: jax.lax.dynamic_slice(ids, (s0 * 8,), (w_eff,))
+            )(s3)
+        )(st // 8)
+    )(ids_padded, starts)  # (B, NT, 3, W)
     # Starts and vsp are multiples of 8; the kernel receives start//8 and
     # rescales in-kernel so Mosaic can prove DMA alignment.
     starts_flat = (
         (starts + (jnp.arange(b, dtype=jnp.int32) * vsp)[:, None, None]) // 8
     ).reshape(b * nt, 3)
-    loc_flat = loc.reshape(b * nt, 9, t_eff)
+    qt_flat = qt.reshape(b * nt, 9, t_eff)
+    wid_flat = win_ids.reshape(b * nt, 3, w_eff)
 
     def pallas_branch(args):
-        lf, sf = args
-        out = _stencil_pallas_flat(lf, sf, src_flat, wc_c, nc, w_eff,
+        qf, sf, wf = args
+        out = _stencil_pallas_flat(qf, sf, wf, src_flat, wc_c, nc, w_eff,
                                    interpret)
         return out.reshape(b, nt * t_eff, -1)[:, :vq]
 
@@ -550,27 +620,29 @@ def _stencil_run(src, ranks, wc, nc: int, t_tile: int, w_win: int,
         jnp.all(ok),
         pallas_branch,
         lambda _: jax.vmap(
-            lambda s, r: _stencil_ref(s, r, wc_c, nc)
-        )(src, ranks),
-        (loc_flat, starts_flat),
+            lambda s, q, i: _stencil_ref_ids(s, q, i, wc_c, nc)
+        )(src, qids, src_ids),
+        (qt_flat, starts_flat, wid_flat),
     )
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def stencil_conv_batched(src, qids, src_ids, wc, nc: int, t_tile: int = 256,
                          w_win: int = 384, method: str = "auto",
-                         rev_ranks=None):
-    """Batched 9-offset stencil conv over chunked column rows.
+                         rev_qids=None, rev_src_ids=None):
+    """Batched 9-offset stencil conv over chunked column rows, id-matched.
 
     src: (B, Vs, nc·kzp) bf16 chunked source rows (``_chunk_source``);
-    ranks: (B, 9, Vq) int32 BEV-stencil ranks (−1 absent);
+    qids: (B, 9, Vq) int32 neighbor QUERY IDS per offset (−1 absent) —
+        pure arithmetic on the sorted column ids, no rank resolution;
+    src_ids: (B, Vs) int32 ascending source column ids (invalid tail
+        strictly above every valid query id);
     wc: (9, kzp, N) chunk band weights (``_chunk_weights``);
-    rev_ranks: optional (B, 9, Vs) int32 REVERSE ranks — for each source
-        row v and offset j, the query q with ``ranks[j, q] == v`` (−1 if
-        none; the per-offset rank map is injective, so q is unique). When
-        given, the backward runs as a second FUSED stencil (transposed
-        band weights, reversed ranks) instead of differentiating the XLA
+    rev_qids/rev_src_ids: optional reverse stencil (for each source row v
+        and offset j, the id of the query that reads v — again arithmetic).
+        When given, the backward's d_src runs as a second FUSED stencil
+        (transposed band weights) instead of differentiating the XLA
         gather reference — the gather's scatter-add transpose serializes
         per row on TPU and dominated the sparse-middle train step.
     Returns (B, Vq, nc·N) f32.
@@ -578,34 +650,38 @@ def stencil_conv_batched(src, ranks, wc, nc: int, t_tile: int = 256,
     method: "auto" (pallas+cond on TPU, reference elsewhere), "pallas",
     "pallas_interpret", or "ref".
     """
-    return _stencil_run(src, ranks, wc, nc, t_tile, w_win, method)
+    return _stencil_run(src, qids, src_ids, wc, nc, t_tile, w_win, method)
 
 
-def _stencil_fwd(src, ranks, wc, nc, t_tile, w_win, method, rev_ranks=None):
-    out = _stencil_run(src, ranks, wc, nc, t_tile, w_win, method)
-    return out, (src, ranks, wc, rev_ranks)
+def _stencil_fwd(src, qids, src_ids, wc, nc, t_tile, w_win, method,
+                 rev_qids=None, rev_src_ids=None):
+    out = _stencil_run(src, qids, src_ids, wc, nc, t_tile, w_win, method)
+    return out, (src, qids, src_ids, wc, rev_qids, rev_src_ids)
 
 
 def _stencil_bwd(nc, t_tile, w_win, method, res, g):
-    src, ranks, wc, rev_ranks = res
-    if rev_ranks is None:
+    src, qids, src_ids, wc, rev_qids, rev_src_ids = res
+    if rev_qids is None:
         # Exact legacy path: differentiate the XLA reference formulation.
         _, vjp = jax.vjp(
             lambda s, w: jax.vmap(
-                lambda ss, rr: _stencil_ref(ss, rr, w.astype(s.dtype), nc)
-            )(s, ranks),
+                lambda ss, qq, ii: _stencil_ref_ids(
+                    ss, qq, ii, w.astype(s.dtype), nc
+                )
+            )(s, qids, src_ids),
             src, wc,
         )
         ds, dwc = vjp(g)
-        return ds, None, dwc, None
+        return ds, None, None, dwc, None, None
 
-    b, _, vq = ranks.shape
+    b, _, vq = qids.shape
     kzp, n = wc.shape[1], wc.shape[2]
 
     # d_src: the transposed conv IS a 9-offset stencil over the cotangent
-    # rows — d_src[v] = Σ_j g[rev_ranks[j, v]] @ wc[j]ᵀ per chunk — so it
-    # runs through the same fused kernel with chunk width N (lane-padded)
-    # and output width kzp.
+    # rows — d_src[v] = Σ_j g[q: id(q) = rev_qids[j, v]] @ wc[j]ᵀ per
+    # chunk — so it runs through the same fused kernel with chunk width N
+    # (lane-padded) and output width kzp. The cotangent rows' ids are the
+    # forward QUERY ids (rev_src_ids).
     np_ = -(-n // 128) * 128
     gsrc = g.astype(src.dtype).reshape(b, vq, nc, n)
     gp = jnp.pad(gsrc, ((0, 0), (0, 0), (0, 0), (0, np_ - n))).reshape(
@@ -614,11 +690,15 @@ def _stencil_bwd(nc, t_tile, w_win, method, res, g):
     wct = jnp.pad(
         jnp.swapaxes(wc, 1, 2), ((0, 0), (0, np_ - n), (0, 0))
     ).astype(src.dtype)
-    ds = _stencil_run(gp, rev_ranks, wct, nc, t_tile, w_win, method)
+    ds = _stencil_run(gp, rev_qids, rev_src_ids, wct, nc, t_tile, w_win,
+                      method)
     ds = ds.astype(src.dtype)
 
-    # d_wc[j] = Σ_q,c src[ranks[j,q]][chunk c]ᵀ g[q][chunk c]: one offset
-    # at a time (lax.map bounds the gather working set at (Vq, nc·kzp)).
+    # d_wc[j] = Σ_q,c src[pos(qids[j,q])][chunk c]ᵀ g[q][chunk c]: ranks
+    # resolved ONCE here (training-only cost), one offset at a time
+    # (lax.map bounds the gather working set at (Vq, nc·kzp)).
+    ranks = jax.vmap(_lookup_ranks)(src_ids, qids)
+
     def per_offset(rj):
         def one(s, r, gg):
             ok = r >= 0
@@ -634,19 +714,20 @@ def _stencil_bwd(nc, t_tile, w_win, method, res, g):
         return jax.vmap(one)(src, rj, g).sum(0)
 
     dwc = jax.lax.map(per_offset, jnp.swapaxes(ranks, 0, 1))
-    return ds, None, dwc.astype(wc.dtype), None
+    return ds, None, None, dwc.astype(wc.dtype), None, None
 
 
 stencil_conv_batched.defvjp(_stencil_fwd, _stencil_bwd)
 
 
-def subm_conv_columns_batched(colf, cols: ColumnSet, neighbors, w,
+def subm_conv_columns_batched(colf, cols: ColumnSet, w,
                               method: str = "auto",
                               t_tile: int = 256, w_win: int = 384):
     """Batched submanifold 3³ conv — the TPU fast path of
-    ``subm_conv_columns`` (same math; one fused kernel per layer).
+    ``subm_conv_columns`` (same math; one fused kernel per layer). Neighbor
+    matching is by COLUMN ID inside the kernel — no rank resolution.
 
-    colf: (B, Vc, nz, C); neighbors: (B, 9, Vc); w: (27, C, Cout).
+    colf: (B, Vc, nz, C); w: (27, C, Cout).
     Returns (B, Vc, nz, Cout) f32.
     """
     bsz, vc, nz, cin = colf.shape
@@ -655,11 +736,13 @@ def subm_conv_columns_batched(colf, cols: ColumnSet, neighbors, w,
     fm = colf * cols.mask[..., None].astype(colf.dtype)
     src = jax.vmap(lambda f: _chunk_source(f, plan, 1))(fm)
     wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 1)
-    # Submanifold reverse ranks are the offset-flipped forward ranks:
-    # rev[j, v] = rank of (id_v − δ_j) = neighbors[8−j, v] (the 9 BEV
-    # offsets of _bev_offsets2d are negation-symmetric under j ↦ 8−j).
-    out = stencil_conv_batched(src, neighbors, wc, plan.nc, t_tile, w_win,
-                               method, rev_ranks=neighbors[:, ::-1])
+    qids = jax.vmap(subm_qids_one)(cols)
+    # Submanifold reverse queries are the offset-flipped forward queries:
+    # rev[j, v] = id_v − δ_j = qids[8−j, v] (the 9 BEV offsets of
+    # _bev_offsets2d are negation-symmetric under j ↦ 8−j).
+    out = stencil_conv_batched(src, qids, cols.col_ids, wc, plan.nc, t_tile,
+                               w_win, method, rev_qids=qids[:, ::-1],
+                               rev_src_ids=cols.col_ids)
     out = out.reshape(bsz, vc, plan.nc * plan.z, cout)
     return out[:, :, :nz]
 
@@ -667,22 +750,24 @@ def subm_conv_columns_batched(colf, cols: ColumnSet, neighbors, w,
 def strided_conv_columns_batched(colf, in_cols: ColumnSet,
                                  out_cols: ColumnSet, w,
                                  method: str = "auto",
-                                 resolve_method: Optional[str] = None,
-                                 t_tile: int = 128, w_win: int = 256):
+                                 t_tile: int = 128, w_win: int = 256,
+                                 mask_t_tile: int = 1024,
+                                 mask_w_win: int = 2048):
     """Batched k=3 s=2 p=1 strided conv — TPU fast path of
-    ``strided_conv_columns``. Returns ((B, Vco, nzo, Cout) f32 features,
-    (B, Vco, nzo) bool out mask)."""
+    ``strided_conv_columns``. Neighbor matching is by COLUMN ID inside the
+    kernel (query ids are arithmetic on the output coords; no rank
+    resolution). Returns ((B, Vco, nzo, Cout) f32 features, (B, Vco, nzo)
+    bool out mask)."""
     bsz, vc, nz, cin = colf.shape
     vco = out_cols.col_ids.shape[1]
     nzo = out_cols.nz
     cout = w.shape[-1]
     nx, ny = in_cols.bev_shape
-    big2 = jnp.int32(nx * ny)
     offs = _bev_offsets2d()
 
-    onx, _ = out_cols.bev_shape
+    onx, ony = out_cols.bev_shape
 
-    def ranks_one(oc_ids, oc_valid, ic_ids):
+    def qids_one(oc_ids, oc_valid):
         coords = jnp.stack([oc_ids % onx, oc_ids // onx], -1)
         q = coords[None, :, :] * 2 + offs[:, None, :]
         inb = (
@@ -690,21 +775,14 @@ def strided_conv_columns_batched(colf, in_cols: ColumnSet,
             & (q[..., 0] >= 0) & (q[..., 0] < nx)
             & (q[..., 1] >= 0) & (q[..., 1] < ny)
         )
-        qids = jnp.where(inb, q[..., 1] * nx + q[..., 0], big2)
-        return resolve_ids(ic_ids, big2, qids, resolve_method,
-                           volume=nx * ny)
+        return jnp.where(inb, q[..., 1] * nx + q[..., 0], -1)
 
-    ranks = jax.vmap(ranks_one)(
-        out_cols.col_ids, out_cols.valid, in_cols.col_ids
-    )  # (B, 9, Vco)
+    qids = jax.vmap(qids_one)(out_cols.col_ids, out_cols.valid)  # (B, 9, Vco)
 
-    # Reverse ranks for the fused backward: input column v is read by the
+    # Reverse queries for the fused backward: input column v is read by the
     # (unique) output q with 2·coord(q) + δ_j = coord(v), i.e.
     # coord(q) = (coord(v) − δ_j)/2 where both components divide evenly.
-    ony = out_cols.bev_shape[1]
-    obig = jnp.int32(onx * ony)
-
-    def rev_ranks_one(ic_ids, ic_valid, oc_ids):
+    def rev_qids_one(ic_ids, ic_valid):
         coords = jnp.stack([ic_ids % nx, ic_ids // nx], -1)
         t = coords[None, :, :] - offs[:, None, :]
         even = (t[..., 0] % 2 == 0) & (t[..., 1] % 2 == 0)
@@ -714,24 +792,25 @@ def strided_conv_columns_batched(colf, in_cols: ColumnSet,
             & (qc[..., 0] >= 0) & (qc[..., 0] < onx)
             & (qc[..., 1] >= 0) & (qc[..., 1] < ony)
         )
-        qids = jnp.where(inb, qc[..., 1] * onx + qc[..., 0], obig)
-        return resolve_ids(oc_ids, obig, qids, resolve_method,
-                           volume=onx * ony)
+        return jnp.where(inb, qc[..., 1] * onx + qc[..., 0], -1)
 
-    rev_ranks = jax.vmap(rev_ranks_one)(
-        in_cols.col_ids, in_cols.valid, out_cols.col_ids
+    rev_qids = jax.vmap(rev_qids_one)(
+        in_cols.col_ids, in_cols.valid
     )  # (B, 9, Vc)
 
     plan = _chunk_plan(cin, nzo, 2)
     fm = colf * in_cols.mask[..., None].astype(colf.dtype)
     src = jax.vmap(lambda f: _chunk_source(f, plan, 2))(fm)
     wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 2)
-    out = stencil_conv_batched(src, ranks, wc, plan.nc, t_tile, w_win,
-                               method, rev_ranks=rev_ranks)
+    out = stencil_conv_batched(src, qids, in_cols.col_ids, wc, plan.nc,
+                               t_tile, w_win, method, rev_qids=rev_qids,
+                               rev_src_ids=out_cols.col_ids)
     out = out.reshape(bsz, vco, plan.nc * plan.z, cout)[:, :, :nzo]
 
     # Output activity through the same machinery on the 1-channel mask
-    # (no narrow-lane gathers): count active inputs per 3³ window.
+    # (no narrow-lane gathers): count active inputs per 3³ window. The
+    # 128-lane mask source makes per-grid-step overhead, not compute, the
+    # cost — so it gets its own MUCH coarser tiling.
     mplan = _chunk_plan(1, nzo, 2)
     msrc = jax.vmap(
         lambda m: _chunk_source(m[..., None].astype(colf.dtype), mplan, 2)
@@ -739,8 +818,8 @@ def strided_conv_columns_batched(colf, in_cols: ColumnSet,
     mwc = _chunk_weights(
         jnp.ones((9, 3, 1, 1), colf.dtype), mplan, 2
     )
-    mm = stencil_conv_batched(msrc, ranks, mwc, mplan.nc, t_tile, w_win,
-                              method)
+    mm = stencil_conv_batched(msrc, qids, in_cols.col_ids, mwc, mplan.nc,
+                              mask_t_tile, mask_w_win, method)
     mm = mm.reshape(bsz, vco, mplan.nc * mplan.z)[:, :, :nzo]
     omask = (mm > 0.5) & out_cols.valid[:, :, None]
     return out, omask

@@ -91,6 +91,7 @@ def voxelize(
     grid: VoxelGrid,
     max_voxels: int = 20000,
     max_points_per_voxel: int = 5,
+    need_point_voxel: bool = False,
 ):
     """Bin (N, D≥3) padded points into fixed-capacity voxels.
 
@@ -100,7 +101,10 @@ def voxelize(
         num_points:  (max_voxels,) points per voxel (0 = empty slot)
         voxel_valid: (max_voxels,) bool
         point_voxel: (N,) int32 index of each point's voxel slot (or −1) —
-                     needed by VFE-style encoders that scatter back.
+                     for VFE-style encoders that scatter back. Only
+                     computed when ``need_point_voxel`` (it costs a third
+                     full-N sort — the un-permute — that no shipped
+                     encoder needs).
     """
     n, d = points.shape
     nx, ny, nz = grid.grid_size
@@ -182,19 +186,22 @@ def voxelize(
         [jnp.where(voxel_valid, c, 0) for c in (ix_v, iy_v, iz_v)], axis=-1
     )
 
-    # Map each original point to its voxel slot (−1 if dropped/overflow slot):
-    # un-sort the per-point slot by sorting on the carried original index.
-    slot_sorted = jnp.where(
-        (sorted_ids < big) & (slot_of_sorted < max_voxels), slot_of_sorted, -1
-    ).astype(jnp.int32)
-    _, point_voxel = jax.lax.sort(
-        (orig_idx, slot_sorted), dimension=0, num_keys=1, is_stable=False
-    )
-
-    return {
+    out = {
         "voxels": voxels,
         "coords": coords,
         "num_points": num_points,
         "voxel_valid": voxel_valid,
-        "point_voxel": point_voxel,
     }
+    if need_point_voxel:
+        # Map each original point to its voxel slot (−1 if dropped/overflow
+        # slot): un-sort the per-point slot by sorting on the carried
+        # original index.
+        slot_sorted = jnp.where(
+            (sorted_ids < big) & (slot_of_sorted < max_voxels),
+            slot_of_sorted, -1,
+        ).astype(jnp.int32)
+        _, point_voxel = jax.lax.sort(
+            (orig_idx, slot_sorted), dimension=0, num_keys=1, is_stable=False
+        )
+        out["point_voxel"] = point_voxel
+    return out

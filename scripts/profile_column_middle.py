@@ -31,7 +31,6 @@ from lyft3d_tpu.models.second.middle import (
 )
 from lyft3d_tpu.models.second.voxelnet import VoxelNet, voxelnet_predict
 from lyft3d_tpu.ops.column_sparse import (
-    column_neighbors,
     columns_from_voxels,
     columns_to_dense_bev,
 )
@@ -138,18 +137,14 @@ def main():
     for si, (f, mo) in enumerate(
         zip(vcfg.middle_features, vcfg.middle_max_voxels)
     ):
-        nb_fn = jax.jit(lambda c: jax.vmap(column_neighbors)(c))
-        timed(f"stage{si} neighbors", nb_fn, cols, perturb=False)
-        neighbors = nb_fn(cols)
         for li in range(2):
             layer = SubMColumnLayer(f, dtype=jnp.bfloat16)
-            lp = layer.init(key, x, cols, neighbors)
+            lp = layer.init(key, x, cols)
             sub_fn = jax.jit(
-                lambda xx, cc, nn, pp=lp, ll=layer: ll.apply(pp, xx, cc, nn)
+                lambda xx, cc, pp=lp, ll=layer: ll.apply(pp, xx, cc)
             )
-            timed(f"stage{si} subm{li} C{x.shape[-1]}->{f}", sub_fn, x, cols,
-                  neighbors)
-            x = sub_fn(x, cols, neighbors)
+            timed(f"stage{si} subm{li} C{x.shape[-1]}->{f}", sub_fn, x, cols)
+            x = sub_fn(x, cols)
         slayer = StridedColumnLayer(f, max_out=mo, dtype=jnp.bfloat16)
         sp = slayer.init(key, x, cols)
         st_fn = jax.jit(

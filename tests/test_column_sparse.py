@@ -173,7 +173,7 @@ class TestBatchedStencil:
     @pytest.mark.parametrize("method", ["ref", "pallas_interpret"])
     def test_subm_batched_matches_per_sample(self, method):
         cols, colf, nb, w, ref = self._data()
-        got = subm_conv_columns_batched(colf, cols, nb, w, method=method)
+        got = subm_conv_columns_batched(colf, cols, w, method=method)
         np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
                                    atol=1e-4)
 
@@ -189,8 +189,9 @@ class TestBatchedStencil:
         wc = cs._chunk_weights(
             w.reshape(9, 3, colf.shape[-1], w.shape[-1]), plan, 1
         )
+        qids = jax.vmap(cs.subm_qids_one)(cols)
         out = cs.stencil_conv_batched(
-            src, nb, wc, plan.nc, t_tile=8, w_win=8,
+            src, qids, cols.col_ids, wc, plan.nc, t_tile=8, w_win=8,
             method="pallas_interpret",
         )
         got = out.reshape(ref.shape[0], colf.shape[1], -1, w.shape[-1])
@@ -236,7 +237,7 @@ class TestBatchedStencil:
         cols, colf, nb, w, _ = self._data()
 
         def loss(f, wt):
-            o = subm_conv_columns_batched(f, cols, nb, wt, method="ref")
+            o = subm_conv_columns_batched(f, cols, wt, method="ref")
             return jnp.sum(o ** 2)
 
         gf, gw = jax.grad(loss, argnums=(0, 1))(colf, w)
@@ -268,18 +269,22 @@ class TestBatchedStencil:
         cout = w.shape[-1]
         plan = cs._chunk_plan(cin, nz, 1)
 
+        qids = jax.vmap(cs.subm_qids_one)(cols)
+
         def loss(f, wt, rev):
             fm = f * cols.mask[..., None].astype(f.dtype)
             src = jax.vmap(lambda x: cs._chunk_source(x, plan, 1))(fm)
             wc = cs._chunk_weights(wt.reshape(9, 3, cin, cout), plan, 1)
             o = cs.stencil_conv_batched(
-                src, nb, wc, plan.nc, 256, 384, method, rev_ranks=rev
+                src, qids, cols.col_ids, wc, plan.nc, 256, 384, method,
+                rev_qids=rev, rev_src_ids=cols.col_ids if rev is not None
+                else None,
             )
             o = o.reshape(b, f.shape[1], plan.nc * plan.z, cout)[:, :, :nz]
             return jnp.sum(jnp.sin(o))
 
         gf_new, gw_new = jax.grad(
-            lambda f, wt: loss(f, wt, nb[:, ::-1]), argnums=(0, 1)
+            lambda f, wt: loss(f, wt, qids[:, ::-1]), argnums=(0, 1)
         )(colf, w)
         gf_old, gw_old = jax.grad(
             lambda f, wt: loss(f, wt, None), argnums=(0, 1)

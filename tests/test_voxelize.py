@@ -75,7 +75,7 @@ class TestVoxelize:
             np.float32,
         )
         out = voxelize(jnp.array(pts), jnp.ones(4, bool), GRID, max_voxels=8,
-                       max_points_per_voxel=4)
+                       max_points_per_voxel=4, need_point_voxel=True)
         pv = np.asarray(out["point_voxel"])
         assert pv[0] == pv[1] != pv[2]
         assert pv[3] == -1  # out of range
@@ -86,7 +86,7 @@ class TestVoxelize:
     def test_all_invalid(self):
         pts = np.zeros((10, 4), np.float32)
         out = voxelize(jnp.array(pts), jnp.zeros(10, bool), GRID, max_voxels=4,
-                       max_points_per_voxel=2)
+                       max_points_per_voxel=2, need_point_voxel=True)
         assert int(np.asarray(out["voxel_valid"]).sum()) == 0
         assert np.all(np.asarray(out["point_voxel"]) == -1)
 
