@@ -131,6 +131,32 @@ def main() -> None:
         shapes = jax.eval_shape(init_fn, *args)
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+    # v5e bf16 peak per chip (197 TFLOP/s). MFU here = XLA-cost-model FLOPs
+    # × achieved invocations/s ÷ bf16 peak — an approximation (the cost
+    # model counts algebraic flops; one-hot gather matmuls etc. count as
+    # real work), good for cross-round comparability.
+    V5E_PEAK_FLOPS = 197e12
+
+    def mfu_entry(fn, args, samples_per_sec, batch):
+        """Per-model MFU from the compiled cost analysis of ONE invocation."""
+        if samples_per_sec is None:
+            return None
+        try:
+            cost = fn.lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            achieved = flops * samples_per_sec / batch
+            return {
+                "gflops_per_batch": round(flops / 1e9, 2),
+                "achieved_tflops": round(achieved / 1e12, 3),
+                "mfu_vs_bf16_peak": round(achieved / V5E_PEAK_FLOPS, 4),
+            }
+        except Exception as e:  # cost_analysis unsupported on a backend
+            return {"error": repr(e)[:120]}
+
+    RESULT["detail"]["mfu"] = {}
+
     def diff_timing(fn, args, work_iters):
         """Time ``fn(*args, iters)`` at two on-device loop lengths; the
         difference cancels the tunnel's constant dispatch/transfer cost.
@@ -218,6 +244,9 @@ def main() -> None:
     RESULT["value"] = round(sweeps_per_sec, 3)
     if baseline == baseline:
         RESULT["vs_baseline"] = round(sweeps_per_sec / baseline, 2)
+    RESULT["detail"]["mfu"]["flagship_seresnext101"] = mfu_entry(
+        jax.jit(e2e), (params, points, valid, map_ch), sweeps_per_sec, BATCH
+    )
     _progress("tpu-optimal resnet50 variant")
 
     # Secondary: the TPU-optimal flagship variant. The reference's
@@ -349,6 +378,10 @@ def main() -> None:
     try:
         dt_sec = diff_timing(sec_repeated, (vparams, sec_pts, sec_valid), ITERS)
         sweeps_sec_second = round(SEC_BATCH * ITERS / dt_sec, 3)
+        RESULT["detail"]["mfu"]["voxelnet_pillars"] = mfu_entry(
+            jax.jit(sec_e2e), (vparams, sec_pts, sec_valid),
+            sweeps_sec_second, SEC_BATCH,
+        )
     except Exception as e:  # relay crash → report, keep the BEV headline
         sec_error = repr(e)[:300]
     RESULT["detail"]["voxelnet_lyft9_e2e_samples_per_sec"] = sweeps_sec_second
@@ -435,6 +468,10 @@ def main() -> None:
         sp_repeated = jax.jit(sp_repeated)
         dt_sp = diff_timing(sp_repeated, (sp_params, sp_pts, sp_valid), ITERS)
         sparse_samples_per_sec = round(SP_BATCH * ITERS / dt_sp, 3)
+        RESULT["detail"]["mfu"]["voxelnet_sparse_fhd"] = mfu_entry(
+            jax.jit(sp_e2e), (sp_params, sp_pts, sp_valid),
+            sparse_samples_per_sec, SP_BATCH,
+        )
         del sp_params, sp_pts, sp_valid, spvox0
         jax.clear_caches()
     except Exception as e:
@@ -445,9 +482,14 @@ def main() -> None:
     RESULT["detail"]["voxelnet_sparse_bench_error"] = sparse_error
     _progress("pointrcnn lyft e2e")
 
-    # Secondary: PointRCNN (third detector family) joint forward at the
-    # reference Lyft capacities — 16384 points, SA 4096/1024/256/64, 100
-    # proposals, 512 RoI points (tools/cfgs/default.yaml:41-48).
+    # Secondary: PointRCNN (third detector family) at the reference Lyft
+    # capacities — 16384 points, SA 4096/1024/256/64, 100 proposals, 512
+    # RoI points (tools/cfgs/default.yaml:41-48). The timed region is the
+    # FULL eval inference path of ``eval_pointrcnn`` — joint forward +
+    # refined-box decode + score sigmoid + final rotated NMS — at batch 4
+    # (vmapped), so the number is comparable to the other families' e2e
+    # samples/s (round-2 verdict weak #6: bare single-sample model.apply
+    # both understated dispatch and overstated post-proc).
     pointrcnn_samples_per_sec = None
     prcnn_error = None
     try:
@@ -455,40 +497,65 @@ def main() -> None:
             PointRCNN,
             lyft_pointrcnn_config,
         )
+        from lyft3d_tpu.ops.nms import rotated_nms
 
         pcfg = lyft_pointrcnn_config("test")
         pmodel = PointRCNN(pcfg)
         PR_N = 16384
+        PR_BATCH = 4
         pr_pts = jnp.asarray(
-            np.column_stack(
+            np.stack(
                 [
-                    rng.uniform(-40, 40, PR_N),
-                    rng.uniform(-40, 40, PR_N),
-                    rng.uniform(-2, 1, PR_N),
+                    np.column_stack(
+                        [
+                            rng.uniform(-40, 40, PR_N),
+                            rng.uniform(-40, 40, PR_N),
+                            rng.uniform(-2, 1, PR_N),
+                        ]
+                    ).astype(np.float32)
+                    for _ in range(PR_BATCH)
                 ]
-            ).astype(np.float32)
+            )
         )
-        pr_valid = jnp.ones((PR_N,), bool)
+        pr_valid = jnp.ones((PR_BATCH, PR_N), bool)
         pr_params = zero_params(
-            pmodel.init, jax.random.PRNGKey(0), pr_pts, None, pr_valid
+            pmodel.init, jax.random.PRNGKey(0), pr_pts[0], None, pr_valid[0]
         )
+
+        def pr_infer_one(params, pts, valid):
+            out = pmodel.apply(params, pts, None, valid)
+            refined = out["refined"]
+            score = jax.nn.sigmoid(out["rcnn"]["cls"])
+            ok = out["proposals"]["roi_valid"] & ~out["roi_empty"]
+            score = jnp.where(ok, score, 0.0)
+            bev = jnp.concatenate(
+                [refined[:, 0:2], refined[:, 3:5], refined[:, 6:7]], -1
+            )
+            keep = rotated_nms(bev, score, pcfg.final_nms_iou, valid=ok)
+            return refined, jnp.where(keep, score, 0.0)
 
         def pr_repeated(params, pts, valid, iters):
             def body(i, acc):
-                out = pmodel.apply(
-                    params, pts + i.astype(jnp.float32) * 1e-6, None, valid
-                )
-                return (
-                    acc
-                    + jnp.sum(jnp.abs(out["refined"]))
-                    + jnp.sum(out["rcnn"]["cls"])
-                )
+                boxes, scores = jax.vmap(
+                    lambda p, v: pr_infer_one(
+                        params, p + i.astype(jnp.float32) * 1e-6, v
+                    )
+                )(pts, valid)
+                return acc + jnp.sum(jnp.abs(boxes)) + jnp.sum(scores)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         pr_repeated = jax.jit(pr_repeated)
         dt_pr = diff_timing(pr_repeated, (pr_params, pr_pts, pr_valid), ITERS)
-        pointrcnn_samples_per_sec = round(ITERS / dt_pr, 3)
+        pointrcnn_samples_per_sec = round(PR_BATCH * ITERS / dt_pr, 3)
+        RESULT["detail"]["pointrcnn_batch"] = PR_BATCH
+        RESULT["detail"]["mfu"]["pointrcnn"] = mfu_entry(
+            jax.jit(lambda p, x, v: jax.vmap(
+                lambda pp, vv: pr_infer_one(p, pp, vv)
+            )(x, v)),
+            (pr_params, pr_pts, pr_valid),
+            pointrcnn_samples_per_sec, PR_BATCH,
+        )
     except Exception as e:
         prcnn_error = repr(e)[:300]
 
