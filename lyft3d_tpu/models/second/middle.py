@@ -264,6 +264,9 @@ class SparseMiddleColumns(nn.Module):
     dtype: Any = jnp.bfloat16
     method: str = "auto"
     norm_type: str = "layer"
+    # True when the active set comes from ops.voxelize (its flat ids are
+    # already (y·nx+x)·nz+z-ordered) — skips the column sort.
+    assume_sorted_voxels: bool = False
 
     @nn.compact
     def __call__(self, features, active: ActiveSet):
@@ -272,9 +275,9 @@ class SparseMiddleColumns(nn.Module):
             columns_to_dense_bev,
         )
 
-        cols, x = jax.vmap(columns_from_voxels)(
-            features.astype(self.dtype), active
-        )
+        cols, x = jax.vmap(
+            lambda f, a: columns_from_voxels(f, a, self.assume_sorted_voxels)
+        )(features.astype(self.dtype), active)
         for f, mo in zip(self.stage_features, self.stage_max_voxels):
             for _ in range(self.subm_per_stage):
                 x = SubMColumnLayer(

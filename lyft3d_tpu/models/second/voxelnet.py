@@ -172,6 +172,8 @@ class VoxelNet(nn.Module):
                 stage_max_voxels=cfg.middle_max_voxels,
                 dtype=self.dtype,
                 norm_type=cfg.middle_norm,
+                # ops.voxelize emits (y, x, z)-ordered flat ids.
+                assume_sorted_voxels=True,
             )(feats, active)
             bev = bev3
         elif cfg.middle == "sparse":
@@ -335,7 +337,9 @@ def voxelnet_predict(preds, anchors, anchor_class, cfg: VoxelNetConfig):
         )
     else:
         keep = rotated_nms(bev, top_scores, cfg.nms_iou, valid=valid)
-    sel, sel_valid = select_top_k(keep, top_scores, cfg.nms_post)
+    # Clamp for tiny anchor grids (demo-scale configs can have fewer
+    # candidates than nms_post).
+    sel, sel_valid = select_top_k(keep, top_scores, min(cfg.nms_post, k))
 
     # Post-range filter (post_center_limit_range, :613-619).
     out_boxes = top_boxes[sel]

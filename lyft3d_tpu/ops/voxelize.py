@@ -120,7 +120,14 @@ def voxelize(
     inb = (
         (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz) & valid
     )
-    flat = (iz * ny + iy) * nx + ix  # z-major like the reference's (z, y, x)
+    # COLUMN-MAJOR (y, x, z) flat ids: voxels of one BEV column are
+    # adjacent and columns ascend by bev id — so the column-sparse middle's
+    # ``columns_from_voxels`` consumes the active set WITHOUT re-sorting
+    # (its key (y·nx+x)·nz+z IS this id). The reference orders (z, y, x)
+    # (`:144` create pkl); every consumer here is order-invariant (the
+    # detector, target assign, pillar_scatter at nz==1 where the two
+    # orders coincide), so this only changes tie-breaking.
+    flat = (iy * nx + ix) * nz + iz
     big = jnp.int32(nx * ny * nz)
     flat = jnp.where(inb, flat, big)
 
@@ -179,9 +186,9 @@ def voxelize(
         (seg[None, :] < num_points[:, None]) & voxel_valid[:, None]
     )[..., None].astype(points.dtype)
 
-    iz_v = voxel_ids // (ny * nx)
-    iy_v = (voxel_ids % (ny * nx)) // nx
-    ix_v = voxel_ids % nx
+    iz_v = voxel_ids % nz
+    ix_v = (voxel_ids // nz) % nx
+    iy_v = voxel_ids // (nz * nx)
     coords = jnp.stack(
         [jnp.where(voxel_valid, c, 0) for c in (ix_v, iy_v, iz_v)], axis=-1
     )

@@ -17,7 +17,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
+def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo",
+         sparse: bool = False):
     import jax
 
     from lyft3d_tpu.config import AnchorConfig, OptimizerConfig, SecondExperiment
@@ -42,14 +43,25 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
     db = LyftDB(root, root / "data")
     infos = create_infos(db, num_sweeps=1, classes=classes)
 
+    # --sparse: the column-sparse middle (SpMiddleFHD capability) at a
+    # scaled-down geometry — 3D voxels (nz 16), 1 pt/voxel, simple encoder —
+    # exercising the fused stencil forward AND reverse-stencil backward in
+    # a real learning loop.
+    middle_kw = dict(
+        voxel_size=(0.8, 0.8, 0.5), max_voxels=8192, max_points_per_voxel=1,
+        encoder="simple", middle="sparse_columns",
+        middle_features=(16, 32, 64),
+        middle_max_voxels=(8192, 4096, 2048),
+        rpn_up_strides=(1, 2, 4),
+    ) if sparse else dict(
+        voxel_size=(0.4, 0.4, 8.0), max_voxels=8192, max_points_per_voxel=8,
+        encoder="pillars",
+    )
     exp = SecondExperiment(
         # Asymmetric range covering the synthetic scene layout (objects sit
         # ahead-right of the ego track): x ∈ [−20, 84], y ∈ [−36, 28].
         point_cloud_range=(-20.0, -36.0, -3.0, 84.0, 28.0, 5.0),
-        voxel_size=(0.4, 0.4, 8.0),
-        max_voxels=8192,
-        max_points_per_voxel=8,
-        encoder="pillars",
+        **middle_kw,
         anchors=(
             # z centers in the SENSOR frame: box center = h/2 − lidar
             # mount height (1.8 m in the synthetic rig).
@@ -80,7 +92,8 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo"):
     print(
         json.dumps(
             {
-                "demo": "second_train_predict_map",
+                "demo": "second_sparse_train_predict_map" if sparse
+                else "second_train_predict_map",
                 "steps": steps,
                 "train_samples": len(tokens),
                 "mAP": round(overall, 4),
@@ -99,5 +112,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--out", default="/tmp/lyft3d_second_demo")
+    ap.add_argument("--sparse", action="store_true",
+                    help="column-sparse middle (SpMiddleFHD path)")
     args = ap.parse_args()
-    main(args.steps, args.out)
+    main(args.steps, args.out, sparse=args.sparse)

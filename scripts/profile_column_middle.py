@@ -187,8 +187,10 @@ def main():
             )
         )(box, cls_, dir_)
 
-    timed("predict (decode+NMS)", pred_fn, preds["box"].astype(jnp.float32),
-          preds["cls"].astype(jnp.float32), preds["dir"].astype(jnp.float32))
+    timed("predict (decode+NMS)", pred_fn,
+          preds["box"].reshape(B, -1, vcfg.box_code_size).astype(jnp.float32),
+          preds["cls"].reshape(B, -1, vcfg.num_classes).astype(jnp.float32),
+          preds["dir"].reshape(B, -1, 2).astype(jnp.float32))
 
 
 if __name__ == "__main__":

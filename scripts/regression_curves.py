@@ -15,9 +15,9 @@ REPO = Path(__file__).resolve().parent.parent
 STEPS = [60, 150, 300]
 
 
-def run_demo(script: str, steps: int, out: Path) -> dict:
+def run_demo(script: str, steps: int, out: Path, extra=()) -> dict:
     cmd = [sys.executable, str(REPO / "scripts" / script),
-           "--steps", str(steps), "--out", str(out)]
+           "--steps", str(steps), "--out", str(out), *extra]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
@@ -32,14 +32,15 @@ def run_demo(script: str, steps: int, out: Path) -> dict:
 def main():
     work = Path("/tmp/lyft3d_curves")
     curves = {}
-    for script, key in [
-        ("demo_bev_e2e.py", "bev_unet"),
-        ("demo_second_e2e.py", "second_voxelnet"),
+    for script, key, extra in [
+        ("demo_bev_e2e.py", "bev_unet", ()),
+        ("demo_second_e2e.py", "second_voxelnet", ()),
+        ("demo_second_e2e.py", "second_voxelnet_sparse", ("--sparse",)),
     ]:
         curves[key] = []
         for steps in STEPS:
             try:
-                r = run_demo(script, steps, work / f"{key}_{steps}")
+                r = run_demo(script, steps, work / f"{key}_{steps}", extra)
                 point = {"steps": steps, "mAP": r.get("mAP"),
                          "wall_s": r.get("wall_s")}
             except Exception as e:  # record and keep the sweep going
