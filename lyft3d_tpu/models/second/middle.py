@@ -187,12 +187,12 @@ class SubMColumnLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     method: str = "auto"
     norm_type: str = "layer"  # "layer" | "batch" | "folded"
-    # Kernel tiling (see stencil_conv_batched): the window must cover a
-    # whole tile's hit span or the coverage check trips the (slow) ref
-    # fallback; full-middle sweep on v5e-1 picked t256/w384 (smaller
-    # windows regress 240-370 ms vs 213 ms at FHD batch 4).
-    t_tile: int = 256
-    w_win: int = 384
+    # Kernel tiling (see stencil_conv_batched): None = adaptive on the
+    # chunked source width (narrow sources take bigger tiles; the window
+    # must cover a whole tile's hit span or the coverage check trips the
+    # slow ref fallback).
+    t_tile: Any = None
+    w_win: Any = None
 
     @nn.compact
     def __call__(self, colf, cols):
@@ -220,12 +220,14 @@ class StridedColumnLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     method: str = "auto"
     norm_type: str = "layer"
-    # Strided queries stride 2 over the input positions, so per-tile hit
-    # spans are ~2× a subm layer's: w_win ≈ 2·t_tile keeps the coverage
-    # check from tripping the lax.cond fallback. t128/w256 won the
-    # full-middle sweep (213 ms vs 234 at t256/w384, FHD batch 4, v5e-1).
+    # Strided queries stride 2 over the input positions — and when a
+    # downsample cap TRUNCATES a stage, the surviving prefix's in/out
+    # density ratio drifts above 2 (measured 2.14 at FHD stage 2), so
+    # w_win = 2·t_tile overflowed and silently ran the slow ref fallback.
+    # 3·t_tile covers ratios to ~2.8 with jitter margin; the cond fallback
+    # still guarantees correctness beyond.
     t_tile: int = 128
-    w_win: int = 256
+    w_win: int = 384
 
     @nn.compact
     def __call__(self, colf, cols):

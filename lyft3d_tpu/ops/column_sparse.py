@@ -793,17 +793,25 @@ stencil_conv_batched.defvjp(_stencil_fwd, _stencil_bwd)
 
 def subm_conv_columns_batched(colf, cols: ColumnSet, w,
                               method: str = "auto",
-                              t_tile: int = 256, w_win: int = 384):
+                              t_tile: Optional[int] = None,
+                              w_win: Optional[int] = None):
     """Batched submanifold 3³ conv — the TPU fast path of
     ``subm_conv_columns`` (same math; one fused kernel per layer). Neighbor
     matching is by COLUMN ID inside the kernel — no rank resolution.
 
     colf: (B, Vc, nz, C); w: (27, C, Cout).
+    Tiling defaults adapt to the chunked source width: narrow sources
+    (nc·kzp ≤ 256 — e.g. the C3 stage-0 input layer) are per-grid-step
+    overhead-bound and take t512/w640 (measured 9.7 → 7.6 ms at FHD);
+    wide sources take t256/w384 (larger windows exceed the 16 MB scoped
+    VMEM: the v5e compiler OOMs at w≥768 with 768-lane sources).
     Returns (B, Vc, nz, Cout) f32.
     """
     bsz, vc, nz, cin = colf.shape
     cout = w.shape[-1]
     plan = _chunk_plan(cin, nz, 1)
+    if t_tile is None:
+        t_tile, w_win = (512, 640) if plan.nc * plan.kzp <= 256 else (256, 384)
     fm = colf * cols.mask[..., None].astype(colf.dtype)
     src = jax.vmap(lambda f: _chunk_source(f, plan, 1))(fm)
     wc = _chunk_weights(w.reshape(9, 3, cin, cout), plan, 1)
@@ -821,9 +829,9 @@ def subm_conv_columns_batched(colf, cols: ColumnSet, w,
 def strided_conv_columns_batched(colf, in_cols: ColumnSet,
                                  out_cols: ColumnSet, w,
                                  method: str = "auto",
-                                 t_tile: int = 128, w_win: int = 256,
+                                 t_tile: int = 128, w_win: int = 384,
                                  mask_t_tile: int = 1024,
-                                 mask_w_win: int = 2048):
+                                 mask_w_win: int = 3072):
     """Batched k=3 s=2 p=1 strided conv — TPU fast path of
     ``strided_conv_columns``. Neighbor matching is by COLUMN ID inside the
     kernel (query ids are arithmetic on the output coords; no rank
