@@ -142,7 +142,15 @@ def main() -> None:
         if samples_per_sec is None:
             return None
         try:
-            cost = fn.lower(*args).compile().cost_analysis()
+            lowered = fn.lower(*args)
+            try:
+                # HLO-level cost analysis — no backend compile (the axon
+                # relay makes every compile minutes-expensive).
+                cost = lowered.cost_analysis()
+            except Exception:
+                cost = lowered.compile().cost_analysis()
+            if cost is None:
+                cost = lowered.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0))

@@ -157,19 +157,39 @@ def voxelize(
     starts_full, vids_full = jax.lax.sort(
         (head_key, sorted_ids), dimension=0, num_keys=1, is_stable=False
     )
-    starts = jnp.minimum(starts_full[:max_voxels], n)  # tail keys are n+pos
-    voxel_ids = vids_full[:max_voxels]
-    if n < max_voxels:  # fewer points than voxel slots: pad the compaction
-        pad = max_voxels - n
-        starts = jnp.concatenate([starts, jnp.full((pad,), n, jnp.int32)])
-        voxel_ids = jnp.concatenate([voxel_ids, jnp.full((pad,), big)])
-    voxel_valid = (jnp.arange(max_voxels) < num_unique) & (voxel_ids < big)
-
-    # Per-voxel point counts via segment boundaries.
-    ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
-    ends = jnp.where(
-        jnp.arange(max_voxels) + 1 < num_unique, ends, jnp.sum(sorted_ids < big)
+    # Overflow policy: when more than ``max_voxels`` voxels are occupied,
+    # keep an EVENLY-SPREAD subset over the sorted id order instead of the
+    # sorted prefix. A prefix is a spatial band (low-y at this id order),
+    # which both biases the detector's field of view and concentrates the
+    # survivors into a dense region (measured: the dense band blew the
+    # column-stencil windows into their slow fallback). The reference drops
+    # excess voxels in hash-insertion order (~point order); even spreading
+    # is the deterministic fixed-shape analogue. sel is strictly increasing
+    # so outputs stay ascending-unique.
+    k_idx = jnp.arange(max_voxels, dtype=jnp.int32)
+    stride = jnp.maximum(num_unique // max_voxels, 1).astype(jnp.int32)
+    rem = jnp.maximum(num_unique - stride * max_voxels, 0).astype(jnp.int32)
+    sel = jnp.where(
+        num_unique > max_voxels,
+        k_idx * stride + jnp.minimum(k_idx, rem),
+        k_idx,
     )
+    npad = max(n, max_voxels + 1)
+    starts_padded = jnp.concatenate(
+        [starts_full, jnp.full((npad + 1 - n,), 2 * n, jnp.int32)]
+    )
+    vids_padded = jnp.concatenate(
+        [vids_full, jnp.full((npad - n,), big)]
+    )
+    starts = jnp.minimum(starts_padded[sel], n)  # tail keys are n+pos
+    voxel_ids = vids_padded[sel]
+    voxel_valid = (k_idx < num_unique) & (voxel_ids < big)
+
+    # Per-voxel point counts via TRUE segment boundaries: the end of kept
+    # voxel sel[i] is the start of head sel[i]+1 (which may be a SKIPPED
+    # voxel — never merge a neighbor's points into a kept voxel).
+    ends = jnp.minimum(starts_padded[sel + 1], n)
+    ends = jnp.where(sel + 1 < num_unique, ends, jnp.sum(sorted_ids < big))
     counts = jnp.where(voxel_valid, ends - starts, 0)
     num_points = jnp.minimum(counts, max_points_per_voxel)
 

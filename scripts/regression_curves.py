@@ -36,6 +36,7 @@ def main():
         ("demo_bev_e2e.py", "bev_unet", ()),
         ("demo_second_e2e.py", "second_voxelnet", ()),
         ("demo_second_e2e.py", "second_voxelnet_sparse", ("--sparse",)),
+        ("demo_pointrcnn_e2e.py", "pointrcnn_refined", ()),
     ]:
         curves[key] = []
         for steps in STEPS:
@@ -43,6 +44,9 @@ def main():
                 r = run_demo(script, steps, work / f"{key}_{steps}", extra)
                 point = {"steps": steps, "mAP": r.get("mAP"),
                          "wall_s": r.get("wall_s")}
+                if "ap_bev@0.5_refined" in r:
+                    point["ap_refined"] = r["ap_bev@0.5_refined"]
+                    point["ap_proposals"] = r["ap_bev@0.5_proposals"]
             except Exception as e:  # record and keep the sweep going
                 point = {"steps": steps, "error": f"{type(e).__name__}: {e}"[:500]}
             print(f"{key} @ {steps} steps: {point}", flush=True)

@@ -69,6 +69,29 @@ class TestVoxelize:
                        max_voxels=10, max_points_per_voxel=2)
         assert int(np.asarray(out["voxel_valid"]).sum()) == 10
 
+    def test_overflow_cap_spreads_evenly(self):
+        """Voxel-cap overflow keeps an evenly-spread subset of the sorted
+        ids (not a spatial-band prefix), with exact per-voxel point counts
+        (a skipped neighbor's points never merge into a kept voxel)."""
+        xs, ys = np.meshgrid(np.arange(8) + 0.5, np.arange(8) + 0.5)
+        pts = np.stack(
+            [xs.ravel(), ys.ravel(), np.full(64, 0.5), np.zeros(64)], -1
+        )
+        pts3 = np.repeat(pts, 3, axis=0)  # 3 points per voxel
+        out = voxelize(jnp.array(pts3, jnp.float32), jnp.ones(192, bool),
+                       GRID, max_voxels=10, max_points_per_voxel=4)
+        v = np.asarray(out["voxel_valid"])
+        assert v.sum() == 10
+        c = np.asarray(out["coords"])[v]
+        # survivors span the whole y range, not just the low-y band
+        assert c[:, 1].max() >= 6
+        np.testing.assert_array_equal(np.asarray(out["num_points"])[v], 3)
+        vox = np.asarray(out["voxels"])[v]
+        for i in range(10):
+            for j in range(3):
+                assert int(vox[i, j, 0]) == c[i, 0]
+                assert int(vox[i, j, 1]) == c[i, 1]
+
     def test_point_voxel_mapping(self):
         pts = np.array(
             [[0.5, 0.5, 0.5, 0], [0.6, 0.6, 0.6, 0], [3.5, 3.5, 0.5, 0], [100, 0, 0, 0]],
