@@ -79,10 +79,37 @@ def block_filter_mask(points, valid, grid: VoxelGrid):
         & (points[:, 1] >= r[1]) & (points[:, 1] < r[4])
     )
     ok = valid & in_range
-    zmin = jnp.full((nbx * nby,), jnp.inf, points.dtype).at[
-        jnp.where(ok, bid, 0)
-    ].min(jnp.where(ok, z, jnp.inf))
-    return valid & (z >= zmin[bid] + grid.height_threshold)
+    # Entirely in sorted space — no scatter, no random gather (a direct
+    # scatter-min + zmin[bid] gather measured 17.8 ms at FHD batch 4 on
+    # v5e-1; this formulation is ~4 ms with identical semantics):
+    #   1. lexicographic (block id, z) sort carrying the original index;
+    #   2. each segment's min-z is its HEAD's z — broadcast down the
+    #      segment with a segmented-copy associative scan (log-passes of
+    #      elementwise selects, no memory indirection);
+    #   3. un-sort the per-point verdict by sorting on the carried index.
+    n = points.shape[0]
+    bid_s, z_s, idx_s = jax.lax.sort(
+        (jnp.where(ok, bid, jnp.int32(nbx * nby)),
+         jnp.where(ok, z, jnp.inf),
+         jnp.arange(n, dtype=jnp.int32)),
+        dimension=0, num_keys=2, is_stable=False,
+    )
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), bid_s[1:] != bid_s[:-1]]
+    )
+
+    def seg_copy(a, b):
+        af, av = a
+        bf, bv = b
+        return bf | af, jnp.where(bf, bv, av)
+
+    _, zmin_s = jax.lax.associative_scan(seg_copy, (is_head, z_s))
+    keep_s = z_s >= zmin_s + grid.height_threshold
+    _, keep = jax.lax.sort(
+        (idx_s, keep_s.astype(jnp.int32)), dimension=0, num_keys=1,
+        is_stable=False,
+    )
+    return valid & (keep > 0)
 
 
 def voxelize(
@@ -131,17 +158,29 @@ def voxelize(
     big = jnp.int32(nx * ny * nz)
     flat = jnp.where(inb, flat, big)
 
-    # One sort carries the full point payload + original index (invalid ids
-    # sort last) — sorted points are contiguous per voxel.
+    # Payload routing: a TPU sort is O(log²N) data-movement passes over
+    # EVERY operand, so carrying the D-wide point payload through it costs
+    # D× the (key, index) sort. When the surviving rows (max_voxels ·
+    # max_points_per_voxel) are few relative to N — the FHD case: 60k of
+    # 262k — it's cheaper to sort (key, index) only and row-gather the
+    # payload at the voxel starts afterwards. When most rows survive
+    # (dense pillar configs) the contiguous sorted payload wins.
     arange_n = jnp.arange(n, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(
-        (flat, arange_n) + tuple(points[:, j] for j in range(d)),
-        dimension=0,
-        num_keys=1,
-        is_stable=False,
-    )
-    sorted_ids, orig_idx = sorted_all[0], sorted_all[1]
-    sorted_pts = jnp.stack(sorted_all[2:], axis=-1)  # (N, D)
+    gather_payload = max_voxels * max_points_per_voxel * 2 <= n
+    if gather_payload:
+        sorted_ids, orig_idx = jax.lax.sort(
+            (flat, arange_n), dimension=0, num_keys=1, is_stable=False
+        )
+        sorted_pts = None
+    else:
+        sorted_all = jax.lax.sort(
+            (flat, arange_n) + tuple(points[:, j] for j in range(d)),
+            dimension=0,
+            num_keys=1,
+            is_stable=False,
+        )
+        sorted_ids, orig_idx = sorted_all[0], sorted_all[1]
+        sorted_pts = jnp.stack(sorted_all[2:], axis=-1)  # (N, D)
 
     # Segment heads in sorted order = unique voxels.
     is_head = jnp.concatenate(
@@ -193,14 +232,33 @@ def voxelize(
     counts = jnp.where(voxel_valid, ends - starts, 0)
     num_points = jnp.minimum(counts, max_points_per_voxel)
 
-    # Contiguous per-voxel slices from the padded sorted payload (vmapped
-    # dynamic_slice — no row gather; padding keeps every start in bounds).
-    padded = jnp.concatenate(
-        [sorted_pts, jnp.zeros((max_points_per_voxel, d), points.dtype)], axis=0
-    )
-    voxels = jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(padded, (s0, 0), (max_points_per_voxel, d))
-    )(starts)
+    if gather_payload:
+        # Windows of the sorted ORIGINAL INDICES (1-int rows — cheap), then
+        # one (max_voxels · mppv)-row gather of the raw points.
+        idx_padded = jnp.concatenate(
+            [orig_idx, jnp.full((max_points_per_voxel,), n, jnp.int32)]
+        )
+        idx_win = jax.vmap(
+            lambda s0: jax.lax.dynamic_slice(
+                idx_padded, (s0,), (max_points_per_voxel,)
+            )
+        )(starts)
+        pts_pad = jnp.concatenate(
+            [points, jnp.zeros((1, d), points.dtype)], axis=0
+        )
+        voxels = pts_pad[idx_win]
+    else:
+        # Contiguous per-voxel slices from the padded sorted payload (vmapped
+        # dynamic_slice — no row gather; padding keeps every start in bounds).
+        padded = jnp.concatenate(
+            [sorted_pts, jnp.zeros((max_points_per_voxel, d), points.dtype)],
+            axis=0,
+        )
+        voxels = jax.vmap(
+            lambda s0: jax.lax.dynamic_slice(
+                padded, (s0, 0), (max_points_per_voxel, d)
+            )
+        )(starts)
     seg = jnp.arange(max_points_per_voxel, dtype=jnp.int32)
     voxels = voxels * (
         (seg[None, :] < num_points[:, None]) & voxel_valid[:, None]

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Sweep t_tile/w_win for the fused stencil kernel at FHD stage shapes,
-and A/B the rank-resolve method (merge vs table) at BEV scale.
+"""Sweep t_tile/w_win for the fused id-matching stencil kernel at FHD
+stage shapes, at the layer level (subm_conv_columns_batched /
+strided_conv_columns_batched — the shipped entry points).
 
 Usage: python scripts/sweep_stencil_tiles.py [stage] [mode]
-  stage: 0/1/2 (default 0); mode: subm|strided|resolve|all (default all)
+  stage: 0/1/2 (default 0); mode: subm|strided|all (default all)
 """
 
 import sys
@@ -22,18 +23,15 @@ import numpy as np
 
 from lyft3d_tpu.ops.column_sparse import (
     ColumnSet,
-    _bev_offsets2d,
-    _chunk_plan,
-    _chunk_source,
-    _chunk_weights,
-    column_neighbors,
-    stencil_conv_batched,
+    downsample_columns,
+    strided_conv_columns_batched,
+    subm_conv_columns_batched,
 )
-from lyft3d_tpu.ops.sparse_conv import resolve_ids
 
 B = 4
 STAGE = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 MODE = sys.argv[2] if len(sys.argv) > 2 else "all"
+# (V, NZ, C, VO, NXY) per FHD stage (input shapes of the stage's layers)
 SHAPES = {
     0: (60000, 40, 16, 32768, 1984),
     1: (32768, 20, 32, 16384, 992),
@@ -43,16 +41,11 @@ V, NZ, C, VO, NXY = SHAPES[STAGE]
 ITERS = 8
 
 
-def timed(name, fn, *args, perturb_idx=0):
+def timed(name, fn, *args):
     def rep(args, iters):
         def body(i, acc):
-            newargs = list(args)
-            a = newargs[perturb_idx]
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                newargs[perturb_idx] = a + i.astype(a.dtype) * 1e-6
-            else:
-                newargs[perturb_idx] = a + (i % 2).astype(a.dtype)
-            out = fn(*newargs)
+            a0 = args[0] + i.astype(args[0].dtype) * 1e-6
+            out = fn(a0, *args[1:])
             return acc + jax.tree_util.tree_reduce(
                 lambda s, x: s + jnp.sum(jnp.abs(x).astype(jnp.float32)),
                 out, 0.0,
@@ -75,7 +68,7 @@ def timed(name, fn, *args, perturb_idx=0):
         print(f"{name:46s}: {(tl - ts) / ITERS * 1000:8.2f} ms (batch {B})",
               flush=True)
     except Exception as e:
-        print(f"{name:46s}: FAILED {repr(e)[:120]}", flush=True)
+        print(f"{name:46s}: FAILED {repr(e)[:160]}", flush=True)
 
 
 def main():
@@ -94,90 +87,42 @@ def main():
     colf = jnp.asarray(rng.randn(B, V, NZ, C).astype(np.float32)).astype(
         jnp.bfloat16
     )
-    fm = colf * cols.mask[..., None].astype(colf.dtype)
-
-    if MODE in ("resolve", "all"):
-        # subm neighbor resolve: 9 x V queries vs V sorted ids
-        offs = _bev_offsets2d()
-
-        def neigh(ci, va, method):
-            coords = jnp.stack([ci % NXY, ci // NXY], -1)
-            q = coords[None, :, :] + offs[:, None, :]
-            inb = (
-                va[None, :]
-                & (q[..., 0] >= 0) & (q[..., 0] < NXY)
-                & (q[..., 1] >= 0) & (q[..., 1] < NXY)
-            )
-            qids = jnp.where(inb, q[..., 1] * NXY + q[..., 0],
-                             jnp.int32(NXY * NXY))
-            return resolve_ids(ci, jnp.int32(NXY * NXY), qids, method,
-                               volume=NXY * NXY)
-
-        for m in ("merge", "table", "searchsorted"):
-            timed(f"subm neighbors resolve [{m}]",
-                  lambda ci, va, m=m: jax.vmap(
-                      lambda i, v: neigh(i, v, m))(ci, va),
-                  cols.col_ids, cols.valid)
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
 
     if MODE in ("subm", "all"):
-        plan = _chunk_plan(C, NZ, 1)
-        w = jnp.asarray(rng.randn(27, C, C).astype(np.float32))
-        wc = _chunk_weights(w.reshape(9, 3, C, C), plan, 1)
-        src = jax.jit(jax.vmap(lambda f: _chunk_source(f, plan, 1)))(fm)
-        nb = jax.jit(lambda c: jax.vmap(column_neighbors)(c))(cols)
-        print(f"subm plan: z={plan.z} kzp={plan.kzp} nc={plan.nc} "
-              f"src {src.shape}", flush=True)
-        for t, wn in ((256, 384), (512, 640), (512, 768), (1024, 1152),
-                      (2048, 2176)):
-            timed(f"subm stencil t{t}/w{wn}",
-                  lambda s, r, t=t, wn=wn: stencil_conv_batched(
-                      s, r, wc, plan.nc, t, wn, "pallas"),
-                  src, nb)
+        for t, wn in ((128, 256), (192, 320), (256, 384), (256, 512),
+                      (384, 512), (512, 640)):
+            timed(
+                f"subm V{V} nz{NZ} C{C} t{t}/w{wn}",
+                lambda f, t=t, wn=wn: subm_conv_columns_batched(
+                    f, cols, w, method="pallas", t_tile=t, w_win=wn
+                ),
+                colf,
+            )
 
     if MODE in ("strided", "all"):
-        oids = np.stack([
-            np.sort(rng.choice((NXY // 2) ** 2, VO, replace=False)).astype(
-                np.int32)
-            for _ in range(B)
-        ])
-        onx = NXY // 2
-        offs = _bev_offsets2d()
-        big2 = jnp.int32(NXY * NXY)
-
-        def ranks_fn(oc_ids, ic_ids):
-            coords = jnp.stack([oc_ids % onx, oc_ids // onx], -1)
-            q = coords[None, :, :] * 2 + offs[:, None, :]
-            inb = (
-                (q[..., 0] >= 0) & (q[..., 0] < NXY)
-                & (q[..., 1] >= 0) & (q[..., 1] < NXY)
+        out_cols = jax.jit(
+            jax.vmap(lambda c: downsample_columns(c, VO))
+        )(cols)
+        for t, wn in ((64, 192), (128, 256), (128, 384), (256, 512),
+                      (256, 768)):
+            timed(
+                f"strided V{V}->{VO} C{C} t{t}/w{wn}",
+                lambda f, t=t, wn=wn: strided_conv_columns_batched(
+                    f, cols, out_cols, w, method="pallas",
+                    t_tile=t, w_win=wn,
+                )[0],
+                colf,
             )
-            qids = jnp.where(inb, q[..., 1] * NXY + q[..., 0], big2)
-            return resolve_ids(ic_ids, big2, qids, "table", volume=NXY * NXY)
-
-        ranks = jax.jit(jax.vmap(ranks_fn))(jnp.asarray(oids), cols.col_ids)
-        nzo = (NZ + 2 - 3) // 2 + 1
-        plan = _chunk_plan(C, nzo, 2)
-        w = jnp.asarray(rng.randn(27, C, C).astype(np.float32))
-        wc = _chunk_weights(w.reshape(9, 3, C, C), plan, 2)
-        src = jax.jit(jax.vmap(lambda f: _chunk_source(f, plan, 2)))(fm)
-        print(f"strided plan: z={plan.z} kzp={plan.kzp} nc={plan.nc} "
-              f"src {src.shape}", flush=True)
-        for t, wn in ((128, 256), (256, 512), (512, 1024), (1024, 2048)):
-            timed(f"strided stencil t{t}/w{wn}",
-                  lambda s, r, t=t, wn=wn: stencil_conv_batched(
-                      s, r, wc, plan.nc, t, wn, "pallas"),
-                  src, ranks)
-
-        mplan = _chunk_plan(1, nzo, 2)
-        mwc = _chunk_weights(jnp.ones((9, 3, 1, 1), colf.dtype), mplan, 2)
-        msrc = jax.jit(jax.vmap(
-            lambda m: _chunk_source(m[..., None].astype(colf.dtype), mplan, 2)
-        ))(cols.mask)
-        for t, wn in ((128, 256), (512, 1024), (1024, 2048), (2048, 4096)):
-            timed(f"mask stencil t{t}/w{wn}",
-                  lambda s, r, t=t, wn=wn: stencil_conv_batched(
-                      s, r, mwc, mplan.nc, t, wn, "pallas"),
-                  msrc, ranks)
+        for mt, mw in ((512, 1536), (1024, 3072), (2048, 6144)):
+            timed(
+                f"strided mask-tile V{V}->{VO} C{C} mt{mt}/mw{mw}",
+                lambda f, mt=mt, mw=mw: strided_conv_columns_batched(
+                    f, cols, out_cols, w, method="pallas",
+                    mask_t_tile=mt, mask_w_win=mw,
+                )[0],
+                colf,
+            )
 
 
 if __name__ == "__main__":
