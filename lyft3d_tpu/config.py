@@ -221,7 +221,7 @@ class SecondExperiment:
     block_size: int = 8
     height_threshold: float = 0.2
     encoder: str = "pillars"
-    middle: str = "scatter"  # scatter | sparse_columns | sparse (SpMiddleFHD paths)
+    middle: str = "scatter"  # scatter | sparse_units | sparse_columns | sparse
     # Sparse middle sizing (middle == "sparse"): per-stage channel widths
     # and active-voxel caps of the strided sparse-conv stack
     # (SpMiddleFHD's downsample chain, second/pytorch/models/middle.py).
@@ -229,6 +229,8 @@ class SecondExperiment:
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
     # Column-middle norm structure: layer | batch | folded (inference).
     middle_norm: str = "layer"
+    # Stage-0 z-slab size of the "sparse_units" middle.
+    middle_z_slab: int = 8
     similarity: str = "nearest"  # anchor matching: nearest | rotated
     anchors: Tuple[AnchorConfig, ...] = (AnchorConfig(),)
     # RPN topology (all.fhd.config rpn block: layer_nums, layer_strides,

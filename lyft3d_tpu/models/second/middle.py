@@ -293,6 +293,132 @@ class SparseMiddleColumns(nn.Module):
         return jax.vmap(columns_to_dense_bev)(x, cols), cols
 
 
+class SubMUnitLayer(nn.Module):
+    """Submanifold conv + norm + ReLU over z-slab units
+    (``ops.column_sparse.subm_conv_units_batched``) — the
+    occupancy-proportional refinement of ``SubMColumnLayer``."""
+
+    features: int
+    ncs: int  # slabs per column (invariant across stages)
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+    norm_type: str = "layer"
+    t_tile: Any = None
+    w_win: Any = None
+
+    @nn.compact
+    def __call__(self, colf, cols):
+        from lyft3d_tpu.ops.column_sparse import subm_conv_units_batched
+
+        cin = colf.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (27, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        out = subm_conv_units_batched(
+            colf.astype(self.dtype), cols, w, self.ncs, method=self.method,
+            t_tile=self.t_tile, w_win=self.w_win,
+        )
+        return _column_norm_act(self, out, cols.mask, self.norm_type,
+                                self.dtype)
+
+
+class StridedUnitLayer(nn.Module):
+    """Strided (k3 s2 p1) sparse conv over z-slab units → new unit set
+    with halved slab size."""
+
+    features: int
+    ncs: int
+    max_out: int
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+    norm_type: str = "layer"
+    t_tile: int = 256
+    w_win: int = 768
+
+    @nn.compact
+    def __call__(self, colf, cols):
+        from lyft3d_tpu.ops.column_sparse import (
+            downsample_units,
+            strided_conv_units_batched,
+        )
+
+        cin = colf.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (27, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        out_cols = jax.vmap(
+            lambda c: downsample_units(c, self.ncs, self.max_out)
+        )(cols)
+        out, omask = strided_conv_units_batched(
+            colf.astype(self.dtype), cols, out_cols, w, self.ncs,
+            method=self.method, t_tile=self.t_tile, w_win=self.w_win,
+        )
+        out_cols = out_cols.replace(mask=omask)
+        out = _column_norm_act(self, out, out_cols.mask, self.norm_type,
+                               self.dtype)
+        return out, out_cols
+
+
+class SparseMiddleUnits(nn.Module):
+    """SpMiddleFHD-style stack over z-slab units — the round-3 TPU default
+    for the sparse middle (config ``middle: sparse_units``).
+
+    Same semantics as ``SparseMiddleColumns`` (capability of
+    ``second/second/pytorch/models/middle.py`` SpMiddleFHD:111-212), but
+    only ACTIVE z-slabs of each BEV column are stored and convolved: at
+    FHD occupancy (~1 voxel per column) this cuts per-layer work by
+    ~nz/z_slab. ``z_slab`` is the stage-0 slab size and must be divisible
+    by 2**(num stages − 1) so slabs halve exactly with each strided layer;
+    caps bound UNITS per stage (units ≤ voxels, so reference voxel caps
+    remain safe)."""
+
+    stage_features: Sequence[int] = (16, 32, 64)
+    stage_max_voxels: Sequence[int] = (8192, 4096, 2048)
+    subm_per_stage: int = 2
+    z_slab: int = 8
+    dtype: Any = jnp.bfloat16
+    method: str = "auto"
+    norm_type: str = "layer"
+    assume_sorted_voxels: bool = False
+
+    @nn.compact
+    def __call__(self, features, active: ActiveSet):
+        from lyft3d_tpu.ops.column_sparse import (
+            units_from_voxels,
+            units_to_dense_bev,
+        )
+
+        nstages = len(self.stage_features)
+        assert self.z_slab % (2 ** (nstages - 1)) == 0, (
+            f"z_slab {self.z_slab} must halve across {nstages - 1} strided "
+            "stages"
+        )
+        nz = active.spatial_shape[2]
+        ncs = -(-nz // self.z_slab)
+        cols, x = jax.vmap(
+            lambda f, a: units_from_voxels(
+                f, a, self.z_slab, self.assume_sorted_voxels
+            )
+        )(features.astype(self.dtype), active)
+        nz_cur = nz
+        for f, mo in zip(self.stage_features, self.stage_max_voxels):
+            for _ in range(self.subm_per_stage):
+                x = SubMUnitLayer(
+                    f, ncs=ncs, dtype=self.dtype, method=self.method,
+                    norm_type=self.norm_type,
+                )(x, cols)
+            x, cols = StridedUnitLayer(
+                f, ncs=ncs, max_out=mo, dtype=self.dtype,
+                method=self.method, norm_type=self.norm_type,
+            )(x, cols)
+            nz_cur = (nz_cur + 2 - 3) // 2 + 1
+        return jax.vmap(
+            lambda xx, cc: units_to_dense_bev(xx, cc, ncs, nz_cur)
+        )(x, cols), cols
+
+
 class SparseMiddle(nn.Module):
     """SpMiddleFHD-style stack: per stage, ``subm_per_stage`` submanifold
     convs then one strided downsample; final dense-BEV flatten.

@@ -42,13 +42,18 @@ class VoxelNetConfig:
     encoder: str = "pillars"  # simple | vfe | pillars
     encoder_features: Tuple[int, ...] = (64,)
     # Middle extractor: "scatter" = PointPillars BEV scatter;
-    # "sparse_columns" = SpMiddleFHD-style stack in the BEV-column (dense-z)
-    # formulation (ops.column_sparse — the TPU-fast sparse path);
+    # "sparse_units" = SpMiddleFHD-style stack over active z-slab UNITS of
+    # BEV columns (ops.column_sparse round 3 — the TPU-fast sparse path;
+    # work scales with occupancy instead of the full column z);
+    # "sparse_columns" = the dense-z BEV-column formulation;
     # "sparse" = the per-voxel gather-einsum formulation (reference
     # implementation, kept for A/B and equivalence tests).
     middle: str = "scatter"
     middle_features: Tuple[int, ...] = (16, 32, 64)
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)
+    # Stage-0 z-slab size of the "sparse_units" middle; must be divisible
+    # by 2**(len(middle_features) - 1) so slabs halve with each stride.
+    middle_z_slab: int = 8
     # Norm structure of the column-sparse middle layers: "layer" (default),
     # "batch" (the reference SpMiddleFHD's BatchNorm1d; train applies need
     # mutable=["batch_stats"]), or "folded" (inference conv+bias — the
@@ -90,7 +95,7 @@ class VoxelNetConfig:
 
     @property
     def middle_downsample(self) -> int:
-        is_sparse = self.middle in ("sparse", "sparse_columns")
+        is_sparse = self.middle in ("sparse", "sparse_columns", "sparse_units")
         return 2 ** len(self.middle_features) if is_sparse else 1
 
     @property
@@ -104,7 +109,7 @@ class VoxelNetConfig:
         # that coarsening.
         nx, ny, _ = self.grid.grid_size
         h, w = ny, nx
-        if self.middle in ("sparse", "sparse_columns"):
+        if self.middle in ("sparse", "sparse_columns", "sparse_units"):
             # Each stage: strided sparse conv, k=3, p=1 (sparse_conv.py
             # downsample_coords): n -> (n + 2 - 3)//2 + 1.
             for _ in self.middle_features:
@@ -155,11 +160,14 @@ class VoxelNet(nn.Module):
             )
 
         feats = enc(voxels, num_points, coords)  # (B, V, C)
-        if cfg.middle == "sparse_columns":
+        if cfg.middle in ("sparse_columns", "sparse_units"):
             # Natively batched (NOT nn.vmap): the fused stencil kernel's
             # window fallback is a batch-level lax.cond that a vmapped
             # trace would degrade into run-both-branches select.
-            from lyft3d_tpu.models.second.middle import SparseMiddleColumns
+            from lyft3d_tpu.models.second.middle import (
+                SparseMiddleColumns,
+                SparseMiddleUnits,
+            )
             from lyft3d_tpu.ops.sparse_conv import ActiveSet
 
             active = jax.vmap(
@@ -167,14 +175,19 @@ class VoxelNet(nn.Module):
                     coords=c, valid=v, spatial_shape=cfg.grid.grid_size
                 )
             )(coords, voxel_valid)
-            bev3, _ = SparseMiddleColumns(
+            common = dict(
                 stage_features=cfg.middle_features,
                 stage_max_voxels=cfg.middle_max_voxels,
                 dtype=self.dtype,
                 norm_type=cfg.middle_norm,
                 # ops.voxelize emits (y, x, z)-ordered flat ids.
                 assume_sorted_voxels=True,
-            )(feats, active)
+            )
+            if cfg.middle == "sparse_units":
+                mid = SparseMiddleUnits(z_slab=cfg.middle_z_slab, **common)
+            else:
+                mid = SparseMiddleColumns(**common)
+            bev3, _ = mid(feats, active)
             bev = bev3
         elif cfg.middle == "sparse":
             mid = nn.vmap(

@@ -186,7 +186,9 @@ def _cfv_fwd(features, active: ActiveSet, assume_sorted: bool):
         & valid_s
     )
     crank = jnp.cumsum(head.astype(jnp.int32)) - 1
-    return out, (crank, skey % nz, valid_s, perm, features.dtype)
+    # 0-size dtype carrier: a raw np.dtype is not a valid VJP residual.
+    dt = jnp.zeros((0,), features.dtype)
+    return out, (crank, skey % nz, valid_s, perm, dt)
 
 
 def _cfv_bwd(assume_sorted: bool, res, ct):
@@ -197,7 +199,7 @@ def _cfv_bwd(assume_sorted: bool, res, ct):
     crank, z_s, valid_s, perm, dt = res
     _, d_colf = ct  # cols carries int/bool leaves → symbolic-zero cotangent
     g = d_colf[jnp.clip(crank, 0, d_colf.shape[0] - 1), z_s]
-    g = (g * valid_s[:, None].astype(g.dtype)).astype(dt)
+    g = (g * valid_s[:, None].astype(g.dtype)).astype(dt.dtype)
     if perm is not None:
         g = jnp.zeros_like(g).at[perm].set(g, unique_indices=True)
     return g, None
@@ -902,3 +904,467 @@ def strided_conv_columns_batched(colf, in_cols: ColumnSet,
     mm = mm.reshape(bsz, vco, mplan.nc * mplan.z)[:, :, :nzo]
     omask = (mm > 0.5) & out_cols.valid[:, :, None]
     return out, omask
+
+
+# ---------------------------------------------------------------------------
+# Z-SLAB UNITS (round 3): the occupancy-proportional refinement of columns.
+#
+# At FHD geometry (max_points_per_voxel=1, 60k voxels over 1984²×40) a BEV
+# column holds ~1.01 voxels on average, so the dense-z column formulation
+# computes ~40 z-cells per active voxel. A UNIT is one fixed z-slab of a
+# column — id = (y·nx + x)·NC + slab with NC = ceil(nz / z_slab) — and only
+# ACTIVE units (≥1 voxel in the slab) are stored. Unit count ≈ column count
+# at low occupancy while per-unit work shrinks by nz/z_slab, cutting both
+# the kernel's one-hot gather width (nc·kzp → one slab's kzp) and the
+# banded contraction ~4-10× per layer at FHD.
+#
+# Everything reuses the column machinery: a unit set IS a ColumnSet over
+# the VIRTUAL BEV grid (nx·NC, ny) with virtual x = x·NC + slab (ids stay
+# sorted, dy-band monotonicity holds, window prep/kernel/banded weights are
+# untouched; nc=1 always). BEV stencil offsets become (±NC, ±1) virtual
+# shifts; the slab index is invariant under them. The z halo between
+# vertically adjacent slabs of one column is exactly the array-index ±1
+# neighbor (unit ids differ by 1 ⇔ same column, adjacent slab), so halo
+# rows are validity-masked shifts — no gather.
+#
+# Slab sizes must halve across strided (s=2) stages so input slab c maps
+# exactly onto output slab c: output cell oz ∈ [zo·c, zo·(c+1)) reads input
+# rows [2·zo·c − 1, 2·zo·(c+1) − 1) = input slab c plus ONE top-halo row.
+# Only a slab's LAST cell spills activity into output slab c+1 (odd global
+# z feeds two outputs, even z feeds one — downsample_units refines
+# candidates with that cell's mask).
+# ---------------------------------------------------------------------------
+
+
+def _unit_nc(nz: int, z_slab: int) -> int:
+    return -(-nz // z_slab)
+
+
+def _ghost_candidates(unit_ids, unit_valid, mask, ncs: int, bigu):
+    """Ids of the z-adjacent GHOST units each real unit requires.
+
+    A submanifold/strided read at a cross-column query (col±δ, c) reaches
+    (col±δ, c)'s halo rows — which carry (col±δ, c∓1)'s boundary cells. If
+    the aligned unit (col±δ, c) is inactive, the id match finds nothing
+    and the contribution is lost. So every unit whose FIRST cell is active
+    demands an (empty) unit one slab below, and every unit whose LAST cell
+    is active demands one above; ghost rows are zero (their halo fills at
+    conv time) with all-false masks, so they never cascade."""
+    slab = unit_ids % ncs
+    lo = jnp.where(unit_valid & mask[:, 0] & (slab != 0),
+                   unit_ids - 1, bigu)
+    hi = jnp.where(unit_valid & mask[:, -1] & (slab != ncs - 1),
+                   unit_ids + 1, bigu)
+    return lo, hi
+
+
+def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
+                   unit_cap: int):
+    """Merge real units with their ghost ids into a ``unit_cap``-row set.
+
+    Returns (ids, valid, mask, colf, pos) where ``pos`` maps each ROW of
+    the input arrays to its row in the output (unit_cap where dropped)."""
+    v = unit_ids.shape[0]
+    lo, hi = _ghost_candidates(unit_ids, unit_valid, mask, ncs, bigu)
+    cand = jnp.sort(jnp.concatenate([unit_ids, lo, hi]))
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
+    ) & (cand < bigu)
+    final_ids = jax.lax.sort(jnp.where(is_head, cand, bigu))[:unit_cap]
+    final_valid = final_ids < bigu
+    # Reposition the real rows (sorted ids → searchsorted is exact; a
+    # real id pushed past the cap by ghosts lands on a mismatch → drop).
+    pos = jnp.searchsorted(final_ids, unit_ids).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, unit_cap - 1)
+    ok = unit_valid & (final_ids[pos] == unit_ids)
+    pos = jnp.where(ok, pos, unit_cap)
+    zs, c = colf.shape[1], colf.shape[2]
+    f_out = jnp.zeros((unit_cap, zs, c), colf.dtype).at[pos].set(
+        colf, mode="drop", unique_indices=True
+    )
+    m_out = jnp.zeros((unit_cap, zs), bool).at[pos].set(
+        mask, mode="drop", unique_indices=True
+    )
+    return final_ids, final_valid, m_out, f_out, pos
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def units_from_voxels(features, active: ActiveSet, z_slab: int,
+                      assume_sorted: bool = False,
+                      unit_cap: Optional[int] = None):
+    """(V, C) voxel features + 3D active set → (unit ColumnSet over the
+    (nx·NC, ny) virtual BEV grid, (unit_cap, z_slab, C) unit features).
+
+    Mirrors ``columns_from_voxels`` with the unit key col·NC + z//z_slab
+    (monotone in the voxelize order (y·nx+x)·nz + z, so ``assume_sorted``
+    applies identically); per-unit windows span ≤ z_slab rows, making the
+    placement one-hot (z_slab² vs nz²) ~25× smaller at FHD stage 0.
+
+    The set includes GHOST units (empty, all-false mask) wherever a
+    boundary-active cell must be readable through a z-neighbor's halo
+    (see ``_ghost_candidates``). ``unit_cap`` defaults to V + V/4 — at
+    uniform z a voxel sits on a slab boundary with probability 2/z_slab.
+    """
+    nx, ny, nz = active.spatial_shape
+    ncs = _unit_nc(nz, z_slab)
+    v, c = features.shape
+    if unit_cap is None:
+        unit_cap = v + v // 4
+    big2 = nx * ny
+    bigu = big2 * ncs  # virtual BEV volume
+    assert big2 * nz < 2 ** 30 and bigu < PAD_ID, (nx, ny, nz, ncs)
+    bev = active.coords[:, 1] * nx + active.coords[:, 0]
+    key = jnp.where(active.valid, bev * nz + active.coords[:, 2],
+                    jnp.int32(big2 * nz))
+    if assume_sorted:
+        skey, f_s = key, features
+    else:
+        skey, perm = jax.lax.sort(
+            (key, jnp.arange(v, dtype=jnp.int32)), num_keys=1
+        )
+        f_s = features[perm]
+    valid_s = skey < big2 * nz
+    z_s = skey % nz
+    # Unit id in the virtual grid; invalid rows park at bigu.
+    uid_s = jnp.where(valid_s, (skey // nz) * ncs + z_s // z_slab,
+                      jnp.int32(bigu))
+    zl_s = z_s - (z_s // z_slab) * z_slab  # local z within the slab
+    head = (
+        jnp.concatenate([jnp.ones((1,), bool), uid_s[1:] != uid_s[:-1]])
+        & valid_s
+    )
+    urank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    arange_v = jnp.arange(v, dtype=jnp.int32)
+    target = jnp.where(head, urank, v)
+    unit_ids = jnp.full((v,), bigu, jnp.int32).at[target].set(
+        uid_s, mode="drop", unique_indices=True
+    )
+    unit_starts = jnp.full((v,), v, jnp.int32).at[target].set(
+        arange_v, mode="drop", unique_indices=True
+    )
+    unit_valid = unit_ids < bigu
+    f_pad = jnp.pad(f_s, ((0, z_slab), (0, 0)))
+    zl_pad = jnp.pad(zl_s, (0, z_slab), constant_values=-1)
+    uid_pad = jnp.pad(uid_s, (0, z_slab), constant_values=bigu + 1)
+
+    def win(s):
+        return (
+            jax.lax.dynamic_slice(f_pad, (s, 0), (z_slab, c)),
+            jax.lax.dynamic_slice(zl_pad, (s,), (z_slab,)),
+            jax.lax.dynamic_slice(uid_pad, (s,), (z_slab,)),
+        )
+
+    fw, zw, uw = jax.vmap(win)(unit_starts)
+    own = uw == unit_ids[:, None]
+    sel = (
+        (zw[:, :, None] == jnp.arange(z_slab, dtype=jnp.int32)[None, None, :])
+        & own[:, :, None]
+    )
+    colf = jnp.einsum(
+        "vrz,vrc->vzc", sel.astype(f_s.dtype), fw,
+        preferred_element_type=jnp.float32,
+    ).astype(f_s.dtype)
+    mask = sel.any(axis=1)
+    final_ids, final_valid, m_out, f_out, _ = _insert_ghosts(
+        unit_ids, unit_valid, mask, colf, ncs, bigu, unit_cap
+    )
+    cols = ColumnSet(col_ids=final_ids, valid=final_valid, mask=m_out,
+                     bev_shape=(nx * ncs, ny), nz=z_slab)
+    return cols, f_out
+
+
+def _ufv_fwd(features, active: ActiveSet, z_slab: int, assume_sorted: bool,
+             unit_cap: Optional[int]):
+    out = units_from_voxels.fun(features, active, z_slab, assume_sorted,
+                                unit_cap)
+    cols, _ = out
+    nx, ny, nz = active.spatial_shape
+    v = features.shape[0]
+    big2 = nx * ny
+    bev = active.coords[:, 1] * nx + active.coords[:, 0]
+    key = jnp.where(active.valid, bev * nz + active.coords[:, 2],
+                    jnp.int32(big2 * nz))
+    if assume_sorted:
+        perm = None
+        skey = key
+    else:
+        skey, perm = jax.lax.sort(
+            (key, jnp.arange(v, dtype=jnp.int32)), num_keys=1
+        )
+    valid_s = skey < big2 * nz
+    z_s = skey % nz
+    ncs = _unit_nc(nz, z_slab)
+    bigu = jnp.int32(big2 * ncs)
+    uid_s = jnp.where(valid_s, (skey // nz) * ncs + z_s // z_slab, bigu)
+    # Final row of each voxel's unit: search the (sorted) final id list.
+    cap = cols.col_ids.shape[0]
+    fpos = jnp.searchsorted(cols.col_ids, uid_s).astype(jnp.int32)
+    fpos = jnp.clip(fpos, 0, cap - 1)
+    ok = valid_s & (cols.col_ids[fpos] == uid_s)
+    zl_s = z_s - (z_s // z_slab) * z_slab
+    dt = jnp.zeros((0,), features.dtype)
+    return out, (fpos, zl_s, ok, perm, dt)
+
+
+def _ufv_bwd(z_slab: int, assume_sorted: bool, unit_cap: Optional[int],
+             res, ct):
+    """Pure gather, like ``_cfv_bwd`` — each voxel lands in one (unit,
+    local z) cell; voxels whose unit was cap-truncated get zero grad."""
+    fpos, zl_s, ok, perm, dt = res
+    _, d_colf = ct
+    g = d_colf[fpos, zl_s]
+    g = (g * ok[:, None].astype(g.dtype)).astype(dt.dtype)
+    if perm is not None:
+        g = jnp.zeros_like(g).at[perm].set(g, unique_indices=True)
+    return g, None
+
+
+units_from_voxels.defvjp(_ufv_fwd, _ufv_bwd)
+
+
+def _unit_halo_rows(fm, ids, valid, ncs: int, bottom: bool):
+    """(Vu, zs, C) masked unit features → (Vu, zs + 1 + bottom, C) rows
+    with the z halo prepended (and appended when ``bottom``).
+
+    Unit ids are sorted unique ascending, so the slab directly below lives
+    at array index i−1 iff ids[i−1] == ids[i] − 1, and the slab index is
+    ids % NC — a +1 id step crosses into the next column when slab == NC−1.
+    Inactive adjacent slabs contribute zeros (their features are zero by
+    the submanifold masking), which is exactly the dense-z semantics.
+    """
+    vu, zs, c = fm.shape
+    zero = jnp.zeros((1, 1, c), fm.dtype)
+    below = jnp.concatenate([zero, fm[:-1, -1:]], axis=0)  # (Vu, 1, C)
+    ok_b = (
+        jnp.concatenate([jnp.zeros((1,), bool), ids[1:] == ids[:-1] + 1])
+        & (ids % ncs != 0) & valid
+    )
+    rows = [below * ok_b[:, None, None].astype(fm.dtype), fm]
+    if bottom:
+        above = jnp.concatenate([fm[1:, :1], zero], axis=0)
+        ok_a = (
+            jnp.concatenate([ids[:-1] + 1 == ids[1:], jnp.zeros((1,), bool)])
+            & (ids % ncs != ncs - 1) & valid
+        )
+        rows.append(above * ok_a[:, None, None].astype(fm.dtype))
+    return jnp.concatenate(rows, axis=1)
+
+
+def _unit_rows_padded(fm, ids, valid, ncs: int, bottom: bool):
+    """Halo'd unit rows flattened and lane-padded to the 128 multiple the
+    stencil kernel wants: (Vu, kzp) with kz = (zs + 1 + bottom)·C."""
+    rows = _unit_halo_rows(fm, ids, valid, ncs, bottom)
+    vu = rows.shape[0]
+    kz = rows.shape[1] * rows.shape[2]
+    kzp = -(-kz // 128) * 128
+    return jnp.pad(rows.reshape(vu, kz), ((0, 0), (0, kzp - kz)))
+
+
+def _unit_band_weights(w, zs_out: int, kzrows: int, stride: int, kzp: int):
+    """(27, C, Cout) → (9, kzp, zs_out·Cout) single-chunk band weights.
+    Row 0 of the halo'd unit rows is local z −1, matching
+    ``_banded_weight``'s padded-row convention."""
+    cin, cout = w.shape[1], w.shape[2]
+    w93 = w.reshape(9, 3, cin, cout)
+    wb = jax.vmap(
+        lambda wj: _banded_weight(wj, zs_out, kzrows, stride)
+    )(w93)
+    return jnp.pad(wb, ((0, 0), (0, kzp - wb.shape[1]), (0, 0)))
+
+
+def unit_qids_subm(cols: ColumnSet, ncs: int):
+    """(9, Vu) submanifold neighbor ids — the constant virtual-grid shift
+    (dy·nx + dx)·NC per BEV offset; −1 where absent. The virtual x bound
+    nx·NC rejects real-grid x over/underflow exactly (slab < NC)."""
+    nxv, ny = cols.bev_shape
+    offs = _bev_offsets2d()
+    q = cols.coords[None, :, :] + offs[:, None, :] * jnp.asarray(
+        [ncs, 1], jnp.int32
+    )
+    inb = (
+        cols.valid[None, :]
+        & (q[..., 0] >= 0) & (q[..., 0] < nxv)
+        & (q[..., 1] >= 0) & (q[..., 1] < ny)
+    )
+    return jnp.where(inb, q[..., 1] * nxv + q[..., 0], -1)
+
+
+def subm_conv_units_batched(colf, cols: ColumnSet, w, ncs: int,
+                            method: str = "auto",
+                            t_tile: Optional[int] = None,
+                            w_win: Optional[int] = None):
+    """Batched submanifold 3³ conv over z-slab units — same math as
+    ``subm_conv_columns_batched`` restricted to active slabs.
+
+    colf: (B, Vu, zs, C); w: (27, C, Cout). Returns (B, Vu, zs, Cout) f32.
+    """
+    bsz, vu, zs, cin = colf.shape
+    cout = w.shape[-1]
+    fm = colf * cols.mask[..., None].astype(colf.dtype)
+    src = jax.vmap(
+        lambda f, i, vv: _unit_rows_padded(f, i, vv, ncs, bottom=True)
+    )(fm, cols.col_ids, cols.valid)
+    kz = (zs + 2) * cin
+    kzp = -(-kz // 128) * 128
+    wc = _unit_band_weights(w, zs, zs + 2, 1, kzp)
+    if t_tile is None:
+        t_tile, w_win = (512, 640) if kzp <= 256 else (256, 384)
+    qids = jax.vmap(lambda cc: unit_qids_subm(cc, ncs))(cols)
+    out = stencil_conv_batched(src, qids, cols.col_ids, wc, 1, t_tile,
+                               w_win, method, rev_qids=qids[:, ::-1],
+                               rev_src_ids=cols.col_ids)
+    return out.reshape(bsz, vu, zs, cout)
+
+
+def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
+    """Output unit set of a k=3 s=2 p=1 strided conv over z-slab units.
+
+    Candidates per input unit: the ≤4 BEV parent columns × three slabs —
+    its own; slab+1 when any of the unit's LAST 3 z cells is active
+    (mask[-1] spills real activity into output slab c+1's first cell —
+    odd global z feeds two outputs — and activity in rows z_in−3..z_in−1
+    makes output (c, last) active, which demands the unit ABOVE as a
+    ghost halo carrier, see ``_ghost_candidates``); slab−1 when any of
+    the FIRST 2 cells is active (output (c, first) active demands the
+    unit below). Output slab size is z_slab/2; NC is invariant. The exact
+    per-cell activity mask is filled by ``strided_conv_units_batched``'s
+    mask stencil — present-but-inactive rows simply behave as ghosts."""
+    nxv, ny = cols.bev_shape
+    nx = nxv // ncs
+    onx = (nx + 2 - 3) // 2 + 1
+    ony = (ny + 2 - 3) // 2 + 1
+    zso = max(1, cols.nz // 2)
+    obig = jnp.int32(onx * ony * ncs)
+    x = cols.coords[:, 0] // ncs
+    slab = cols.coords[:, 0] - x * ncs
+    yy = cols.coords[:, 1]
+    num = jnp.stack([x, yy], -1) + 1  # + padding
+    o_hi = num // 2
+    o_lo = -((-(num - 2)) // 2)
+    up = cols.mask[:, -3:].any(axis=1) & (slab < ncs - 1)
+    down = cols.mask[:, :2].any(axis=1) & (slab > 0)
+
+    combos = jnp.asarray(
+        list(itertools.product(range(2), range(2), (-1, 0, 1))), jnp.int32
+    )
+
+    def per_combo(j):
+        o = o_lo + j[None, :2]
+        ds = j[2]
+        ok = (
+            cols.valid
+            & jnp.all(o <= o_hi, axis=1)
+            & (o[:, 0] >= 0) & (o[:, 0] < onx)
+            & (o[:, 1] >= 0) & (o[:, 1] < ony)
+            & jnp.where(ds == 0, True, jnp.where(ds > 0, up, down))
+        )
+        oid = (o[:, 1] * onx + o[:, 0]) * ncs + slab + ds
+        return jnp.where(ok, oid, obig)
+
+    cand = jax.vmap(per_combo)(combos).reshape(-1)
+    cand = jnp.sort(cand)
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
+    ) & (cand < obig)
+    out_ids = jax.lax.sort(jnp.where(is_head, cand, obig))[:max_out]
+    out_valid = out_ids < obig
+    return ColumnSet(
+        col_ids=out_ids, valid=out_valid,
+        mask=jnp.zeros((max_out, zso), bool),
+        bev_shape=(onx * ncs, ony), nz=zso,
+    )
+
+
+def strided_conv_units_batched(colf, in_cols: ColumnSet,
+                               out_cols: ColumnSet, w, ncs: int,
+                               method: str = "auto",
+                               t_tile: int = 256, w_win: int = 768,
+                               mask_t_tile: int = 1024,
+                               mask_w_win: int = 3072):
+    """Batched k=3 s=2 p=1 strided conv over z-slab units.
+
+    Output slab c reads input slab c plus one top-halo row (slabs halve
+    with the stride: input rows for output local oz are 2·oz + dz − 1 ∈
+    [−1, z_in)). Returns ((B, Vuo, zso, Cout) f32, (B, Vuo, zso) bool).
+    """
+    bsz, vu, zs, cin = colf.shape
+    vuo = out_cols.col_ids.shape[1]
+    zso = out_cols.nz
+    cout = w.shape[-1]
+    nxv, ny = in_cols.bev_shape
+    nx = nxv // ncs
+    onxv, ony = out_cols.bev_shape
+    onx = onxv // ncs
+    offs = _bev_offsets2d()
+
+    def qids_one(oc_ids, oc_valid):
+        vx = oc_ids % onxv
+        ox = vx // ncs
+        slab = vx - ox * ncs
+        oy = oc_ids // onxv
+        qx = ox[None, :] * 2 + offs[:, None, 0]
+        qy = oy[None, :] * 2 + offs[:, None, 1]
+        inb = (
+            oc_valid[None, :]
+            & (qx >= 0) & (qx < nx) & (qy >= 0) & (qy < ny)
+        )
+        return jnp.where(inb, (qy * nx + qx) * ncs + slab[None, :], -1)
+
+    qids = jax.vmap(qids_one)(out_cols.col_ids, out_cols.valid)
+
+    def rev_qids_one(ic_ids, ic_valid):
+        vx = ic_ids % nxv
+        ix = vx // ncs
+        slab = vx - ix * ncs
+        iy = ic_ids // nxv
+        tx = ix[None, :] - offs[:, None, 0]
+        ty = iy[None, :] - offs[:, None, 1]
+        even = (tx % 2 == 0) & (ty % 2 == 0)
+        qx, qy = tx // 2, ty // 2
+        inb = (
+            ic_valid[None, :] & even
+            & (qx >= 0) & (qx < onx) & (qy >= 0) & (qy < ony)
+        )
+        return jnp.where(inb, (qy * onx + qx) * ncs + slab[None, :], -1)
+
+    rev_qids = jax.vmap(rev_qids_one)(in_cols.col_ids, in_cols.valid)
+
+    fm = colf * in_cols.mask[..., None].astype(colf.dtype)
+    src = jax.vmap(
+        lambda f, i, vv: _unit_rows_padded(f, i, vv, ncs, bottom=False)
+    )(fm, in_cols.col_ids, in_cols.valid)
+    kz = (zs + 1) * cin
+    kzp = -(-kz // 128) * 128
+    wc = _unit_band_weights(w, zso, zs + 1, 2, kzp)
+    out = stencil_conv_batched(src, qids, in_cols.col_ids, wc, 1,
+                               t_tile, w_win, method, rev_qids=rev_qids,
+                               rev_src_ids=out_cols.col_ids)
+    out = out.reshape(bsz, vuo, zso, cout)
+
+    # Output activity: the same stencil on the 1-channel halo'd mask.
+    msrc = jax.vmap(
+        lambda m, i, vv: _unit_rows_padded(
+            m[..., None].astype(colf.dtype), i, vv, ncs, bottom=False
+        )
+    )(in_cols.mask, in_cols.col_ids, in_cols.valid)
+    mkz = zs + 1
+    mkzp = -(-mkz // 128) * 128
+    mwc = _unit_band_weights(
+        jnp.ones((27, 1, 1), colf.dtype), zso, zs + 1, 2, mkzp
+    )
+    mm = stencil_conv_batched(msrc, qids, in_cols.col_ids, mwc, 1,
+                              mask_t_tile, mask_w_win, method)
+    omask = (mm.reshape(bsz, vuo, zso) > 0.5) & out_cols.valid[:, :, None]
+    return out, omask
+
+
+def units_to_dense_bev(colf, cols: ColumnSet, ncs: int, nz: int):
+    """(Vu, zs, C) units → (ny, nx, nz·C) dense BEV (z-major then C),
+    matching ``columns_to_dense_bev``: slabs concatenate along z."""
+    nxv, ny = cols.bev_shape
+    nx = nxv // ncs
+    zs = cols.nz
+    c = colf.shape[-1]
+    dense = columns_to_dense_bev(colf, cols)  # (ny, nx·NC, zs·C)
+    dense = dense.reshape(ny, nx, ncs * zs, c)[:, :, :nz]
+    return dense.reshape(ny, nx, nz * c)
