@@ -215,6 +215,80 @@ class TestColumnSparseDP:
             )
 
 
+class TestUnitSparseDP:
+    def test_unit_middle_dp_gradients_match_single_device(self):
+        """8-way DP gradients THROUGH the z-slab UNIT sparse middle (the
+        round-3 production sparse path) equal single-device full-batch
+        gradients — DataParallel (train.py:207-208) for SpMiddleFHD."""
+        import optax
+
+        from lyft3d_tpu.models.second.middle import SparseMiddleUnits
+        from lyft3d_tpu.ops.sparse_conv import ActiveSet
+        from lyft3d_tpu.parallel.mesh import (
+            make_mesh,
+            make_train_step_dp,
+            replicate,
+            shard_batch,
+        )
+
+        rng = np.random.RandomState(1)
+        b, cap, n_act = 8, 48, 40
+        shape = (12, 12, 4)
+        coords, valids = [], []
+        for _ in range(b):
+            flat = np.sort(rng.choice(np.prod(shape), n_act, replace=False))
+            z = flat % shape[2]
+            x = (flat // shape[2]) % shape[0]
+            y = flat // (shape[2] * shape[0])
+            c = np.stack([x, y, z], -1).astype(np.int32)
+            coords.append(np.concatenate([c, np.zeros((cap - n_act, 3), np.int32)]))
+            valids.append(
+                np.concatenate([np.ones(n_act, bool), np.zeros(cap - n_act, bool)])
+            )
+        batch = {
+            "feats": rng.randn(b, cap, 3).astype(np.float32),
+            "coords": np.stack(coords),
+            "valid": np.stack(valids),
+        }
+
+        model = SparseMiddleUnits(
+            stage_features=(4, 8), stage_max_voxels=(48, 32), z_slab=2,
+            dtype=jnp.float32, assume_sorted_voxels=True,
+        )
+        act0 = jax.vmap(
+            lambda c, v: ActiveSet(coords=c, valid=v, spatial_shape=shape)
+        )(jnp.asarray(batch["coords"]), jnp.asarray(batch["valid"]))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["feats"]), act0
+        )
+
+        def loss_fn(p, bt):
+            act = jax.vmap(
+                lambda c, v: ActiveSet(coords=c, valid=v, spatial_shape=shape)
+            )(bt["coords"], bt["valid"])
+            bev, _ = model.apply(p, bt["feats"], act)
+            return jnp.mean(bev.astype(jnp.float32) ** 2)
+
+        tx = optax.sgd(0.5)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        ref = optax.apply_updates(params, upd)
+
+        mesh = make_mesh(8)
+        step = make_train_step_dp(loss_fn, tx, mesh)
+        dp_params = replicate(mesh, params)
+        opt_state = replicate(mesh, tx.init(params))
+        got, _, dp_loss = step(dp_params, opt_state, shard_batch(mesh, batch))
+
+        np.testing.assert_allclose(float(dp_loss), float(loss), rtol=1e-5)
+        flat_ref = jax.tree_util.tree_leaves(ref)
+        flat_got = jax.tree_util.tree_leaves(got)
+        for r, g in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5
+            )
+
+
 class TestPointShardedRaster:
     def test_matches_single_device(self):
         """Point-sharded raster + psum == single-device raster (counts are
