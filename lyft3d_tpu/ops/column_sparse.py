@@ -962,30 +962,41 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
                    unit_cap: int):
     """Merge real units with their ghost ids into a ``unit_cap``-row set.
 
-    Returns (ids, valid, mask, colf, pos) where ``pos`` maps each ROW of
-    the input arrays to its row in the output (unit_cap where dropped)."""
+    Returns (ids, valid, mask, colf, src) where ``src`` maps each ROW of
+    the OUTPUT to its source row in the input (V for ghost/empty rows).
+
+    Placement is gather-based and scatter-free: a (id, payload) pair
+    sort orders each id group with the real row (payload < V) ahead of
+    its ghost candidates (payload = V), so the group head carries the
+    source row; a second pair sort compacts the heads (non-heads parked
+    at bigu fall off the truncated tail — the highest ids drop on cap
+    overflow, as before) and the feature rows are fetched with one
+    gather. Earlier formulations paid for TPU scatters here: wide-row
+    scatter placement cost ≈ 200 ms at FHD batch-4 and even scalar
+    compaction scatters cost ≈ 120 ms in context, vs ≈ 20 ms for the
+    two pair sorts + row gathers."""
     v = unit_ids.shape[0]
     lo, hi = _ghost_candidates(unit_ids, unit_valid, mask, ncs, bigu)
-    cand = jnp.sort(jnp.concatenate([unit_ids, lo, hi]))
+    ids3 = jnp.concatenate([unit_ids, lo, hi])
+    pay3 = jnp.concatenate([
+        jnp.arange(v, dtype=jnp.int32),
+        jnp.full((2 * v,), v, jnp.int32),
+    ])
+    ids3, pay3 = jax.lax.sort((ids3, pay3), num_keys=2)
     is_head = jnp.concatenate(
-        [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
-    ) & (cand < bigu)
-    final_ids = jax.lax.sort(jnp.where(is_head, cand, bigu))[:unit_cap]
+        [jnp.ones((1,), bool), ids3[1:] != ids3[:-1]]
+    ) & (ids3 < bigu)
+    ids_m = jnp.where(is_head, ids3, jnp.int32(bigu))
+    pay_m = jnp.where(is_head, pay3, jnp.int32(v))
+    final_ids, src = jax.lax.sort((ids_m, pay_m), num_keys=1)
+    final_ids = final_ids[:unit_cap]
+    src = src[:unit_cap]
     final_valid = final_ids < bigu
-    # Reposition the real rows (sorted ids → searchsorted is exact; a
-    # real id pushed past the cap by ghosts lands on a mismatch → drop).
-    pos = jnp.searchsorted(final_ids, unit_ids).astype(jnp.int32)
-    pos = jnp.clip(pos, 0, unit_cap - 1)
-    ok = unit_valid & (final_ids[pos] == unit_ids)
-    pos = jnp.where(ok, pos, unit_cap)
-    zs, c = colf.shape[1], colf.shape[2]
-    f_out = jnp.zeros((unit_cap, zs, c), colf.dtype).at[pos].set(
-        colf, mode="drop", unique_indices=True
-    )
-    m_out = jnp.zeros((unit_cap, zs), bool).at[pos].set(
-        mask, mode="drop", unique_indices=True
-    )
-    return final_ids, final_valid, m_out, f_out, pos
+    hit = src < v
+    srcc = jnp.minimum(src, v - 1)
+    f_out = jnp.where(hit[:, None, None], colf[srcc], 0)
+    m_out = mask[srcc] & hit[:, None]
+    return final_ids, final_valid, m_out, f_out, src
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1329,32 +1340,35 @@ def strided_conv_units_batched(colf, in_cols: ColumnSet,
 
     rev_qids = jax.vmap(rev_qids_one)(in_cols.col_ids, in_cols.valid)
 
+    # The output-activity mask rides as ONE extra channel through the
+    # SAME stencil pass: input channel cin carries the activity
+    # indicator, weight block-diagonal ([w | 0; 0 | ones]) routes it to
+    # output channel cout. kzp is unchanged at every FHD stage
+    # ((zs+1)·(cin+1) stays under the same 128 multiple), so the mask
+    # is computed for free — replacing a second full stencil launch on
+    # a 1-channel source padded to 128 lanes (~1/3 of the strided
+    # layer's cost before round 3).
     fm = colf * in_cols.mask[..., None].astype(colf.dtype)
+    aug = jnp.concatenate(
+        [fm, in_cols.mask[..., None].astype(colf.dtype)], axis=-1
+    )
     src = jax.vmap(
         lambda f, i, vv: _unit_rows_padded(f, i, vv, ncs, bottom=False)
-    )(fm, in_cols.col_ids, in_cols.valid)
-    kz = (zs + 1) * cin
+    )(aug, in_cols.col_ids, in_cols.valid)
+    kz = (zs + 1) * (cin + 1)
     kzp = -(-kz // 128) * 128
-    wc = _unit_band_weights(w, zso, zs + 1, 2, kzp)
-    out = stencil_conv_batched(src, qids, in_cols.col_ids, wc, 1,
-                               t_tile, w_win, method, rev_qids=rev_qids,
-                               rev_src_ids=out_cols.col_ids)
-    out = out.reshape(bsz, vuo, zso, cout)
-
-    # Output activity: the same stencil on the 1-channel halo'd mask.
-    msrc = jax.vmap(
-        lambda m, i, vv: _unit_rows_padded(
-            m[..., None].astype(colf.dtype), i, vv, ncs, bottom=False
-        )
-    )(in_cols.mask, in_cols.col_ids, in_cols.valid)
-    mkz = zs + 1
-    mkzp = -(-mkz // 128) * 128
-    mwc = _unit_band_weights(
-        jnp.ones((27, 1, 1), colf.dtype), zso, zs + 1, 2, mkzp
-    )
-    mm = stencil_conv_batched(msrc, qids, in_cols.col_ids, mwc, 1,
-                              mask_t_tile, mask_w_win, method)
-    omask = (mm.reshape(bsz, vuo, zso) > 0.5) & out_cols.valid[:, :, None]
+    w_aug = jnp.zeros((27, cin + 1, cout + 1), w.dtype)
+    w_aug = w_aug.at[:, :cin, :cout].set(w)
+    w_aug = w_aug.at[:, cin, cout].set(1)
+    wc = _unit_band_weights(w_aug, zso, zs + 1, 2, kzp)
+    out_full = stencil_conv_batched(src, qids, in_cols.col_ids, wc, 1,
+                                    t_tile, w_win, method,
+                                    rev_qids=rev_qids,
+                                    rev_src_ids=out_cols.col_ids)
+    out_full = out_full.reshape(bsz, vuo, zso, cout + 1)
+    out = out_full[..., :cout]
+    mm = out_full[..., cout]
+    omask = (mm > 0.5) & out_cols.valid[:, :, None]
     return out, omask
 
 
