@@ -63,7 +63,7 @@ class SubMConvLayer(nn.Module):
             # toolchain (see ops/subm_conv_kernel.py header): compiled TPU
             # lowering of table-scale in-kernel row gathers crashes the
             # backend. Refuse loudly instead of crashing mid-train; the
-            # production sparse path is SparseMiddleColumns
+            # production sparse path is SparseMiddleUnits
             # (ops.column_sparse), and this per-voxel formulation's
             # supported modes are "xla" / "auto".
             if jax.default_backend() == "tpu":
@@ -255,10 +255,15 @@ class StridedColumnLayer(nn.Module):
 
 
 class SparseMiddleColumns(nn.Module):
-    """SpMiddleFHD-style stack in the BEV-column formulation — the TPU
-    default for the sparse middle. Takes BATCHED inputs ((B, V, C)
+    """SpMiddleFHD-style stack in the dense-z BEV-column formulation
+    (config ``middle: sparse_columns``). Takes BATCHED inputs ((B, V, C)
     features, batched ActiveSet); caps bound COLUMNS per stage (columns
-    ≤ voxels, so the reference voxel caps are safe)."""
+    ≤ voxels, so the reference voxel caps are safe).
+
+    Superseded as the production sparse path by ``SparseMiddleUnits``
+    (round 3): columns carry the FULL z extent densely, so per-layer work
+    scales with nz rather than occupancy. Kept for A/B (the unit path is
+    equivalence-tested against it in tests/test_unit_sparse.py)."""
 
     stage_features: Sequence[int] = (16, 32, 64)
     stage_max_voxels: Sequence[int] = (8192, 4096, 2048)
@@ -429,8 +434,8 @@ class SparseMiddle(nn.Module):
     REFERENCE IMPLEMENTATION: the per-voxel gather-einsum formulation is
     kept for A/B and equivalence testing (tests/test_column_sparse.py
     checks SparseMiddleColumns against it); the production sparse path is
-    ``SparseMiddleColumns`` (config ``middle: sparse_columns``), measured
-    ~2x faster at FHD scale on v5e-1.
+    ``SparseMiddleUnits`` (config ``middle: sparse_units``), with
+    ``SparseMiddleColumns`` as the intermediate dense-z formulation.
     """
 
     stage_features: Sequence[int] = (16, 32, 64)

@@ -130,35 +130,20 @@ def columns_from_voxels(features, active: ActiveSet, assume_sorted: bool = False
     col_ids = jnp.full((v,), big2, jnp.int32).at[target].set(
         bev_s, mode="drop", unique_indices=True
     )
-    col_starts = jnp.full((v,), v, jnp.int32).at[target].set(
+    col_valid = col_ids < big2
+    # Placement by INVERSE PERMUTATION (same fix as units_from_voxels):
+    # one scalar scatter builds inv[crank·nz + z] = sorted row, one
+    # full-row gather fetches the features. The per-column
+    # vmap(dynamic_slice) window formulation hit XLA:TPU's serial gather
+    # path on data-dependent starts (~1 s at FHD batch-4 for the unit
+    # variant, scripts/profile_ufv_parts.py).
+    dest = jnp.where(valid_s, crank * nz + z_s, jnp.int32(v * nz))
+    inv = jnp.full((v * nz,), v, jnp.int32).at[dest].set(
         arange_v, mode="drop", unique_indices=True
     )
-    col_valid = col_ids < big2
-    # Per-column windows: rows [start, start+nz) cover the whole column
-    # (≤ nz voxels per column); rows of the NEXT column / the invalid tail
-    # are rejected by the bev-id match.
-    f_pad = jnp.pad(f_s, ((0, nz), (0, 0)))
-    z_pad = jnp.pad(z_s, (0, nz), constant_values=-1)
-    bev_pad = jnp.pad(bev_s, (0, nz), constant_values=big2 + 1)
-
-    def win(s):
-        return (
-            jax.lax.dynamic_slice(f_pad, (s, 0), (nz, c)),
-            jax.lax.dynamic_slice(z_pad, (s,), (nz,)),
-            jax.lax.dynamic_slice(bev_pad, (s,), (nz,)),
-        )
-
-    fw, zw, bw = jax.vmap(win)(col_starts)
-    own = bw == col_ids[:, None]  # (Vc, nz_window)
-    sel = (
-        (zw[:, :, None] == jnp.arange(nz, dtype=jnp.int32)[None, None, :])
-        & own[:, :, None]
-    )
-    colf = jnp.einsum(
-        "vrz,vrc->vzc", sel.astype(f_s.dtype), fw,
-        preferred_element_type=jnp.float32,
-    ).astype(f_s.dtype)
-    mask = sel.any(axis=1)
+    f_pad = jnp.concatenate([f_s, jnp.zeros((1, c), f_s.dtype)])
+    colf = f_pad[inv].reshape(v, nz, c)
+    mask = (inv < v).reshape(v, nz)
     cols = ColumnSet(col_ids=col_ids, valid=col_valid, mask=mask,
                      bev_shape=(nx, ny), nz=nz)
     return cols, colf
@@ -310,7 +295,11 @@ def downsample_columns(cols: ColumnSet, max_out: int):
     is_head = jnp.concatenate(
         [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
     ) & (cand < obig)
-    out_ids = jax.lax.sort(jnp.where(is_head, cand, obig))[:max_out]
+    heads_sorted = jax.lax.sort(jnp.where(is_head, cand, obig))
+    # Cap overflow: evenly-spread survivors (see _even_select), not the
+    # lowest-id prefix.
+    out_ids = heads_sorted[_even_select(heads_sorted, jnp.sum(is_head),
+                                        max_out)]
     out_valid = out_ids < obig
     return ColumnSet(
         col_ids=out_ids, valid=out_valid,
@@ -637,6 +626,24 @@ def _stencil_pallas_flat(qt, starts, win_ids, src_flat, wc, nc: int,
     )(starts, qt, win_ids, src_flat, wc)
 
 
+def stencil_coverage_ok(src_ids, qids, vs: int, t_tile: int, w_win: int):
+    """Would the fused kernel's windows cover every hit for this geometry?
+
+    Replicates ``_stencil_run``'s effective-tile arithmetic and returns the
+    per-batch coverage flag — a False means ``stencil_conv_batched`` with
+    these tiles silently runs the exact-but-slow XLA gather reference for
+    the WHOLE batch (the lax.cond fallback). Pure id arithmetic (features
+    never matter), so it is cheap to call for diagnostics; see
+    scripts/debug_sparse_e2e.py."""
+    vq = qids.shape[-1]
+    t_eff = min(t_tile, -(-vq // 8) * 8)
+    w_eff = -(-min(w_win, vs + t_tile) // 8) * 8 + 8
+    _, _, ok = jax.vmap(
+        lambda i, q: _window_prep_ids(i, q, t_eff, w_eff)
+    )(src_ids, qids)
+    return ok
+
+
 def _stencil_run(src, qids, src_ids, wc, nc: int, t_tile: int, w_win: int,
                  method: str):
     """The stencil conv proper (no custom VJP) — shared by the forward
@@ -958,6 +965,26 @@ def _ghost_candidates(unit_ids, unit_valid, mask, ncs: int, bigu):
     return lo, hi
 
 
+def _even_select(sorted_vals, num_unique, cap: int, k=None):
+    """Evenly-spread cap selection over an ascending-unique prefix.
+
+    ``sorted_vals`` carries ``num_unique`` real entries ascending at the
+    front, padding behind (callers guarantee ``len >= cap``). Returns the
+    (cap,) selected POSITIONS — identity when ``num_unique <= cap``, else
+    an evenly rank-spaced subsample. Strictly increasing, so gathered
+    values stay ascending-unique. Mirrors ops/voxelize.py's overflow
+    policy: a truncated sorted PREFIX is a spatial band (low y at this id
+    order) that both biases coverage and concentrates survivors into a
+    locally-dense region — measured at FHD stage 2, the dense band blew
+    every stencil window into the slow cond fallback (whole-batch XLA
+    reference), 3.4 vs ~20 samples/s e2e."""
+    if k is None:
+        k = jnp.arange(cap, dtype=jnp.int32)
+    stride = jnp.maximum(num_unique // cap, 1).astype(jnp.int32)
+    rem = jnp.maximum(num_unique - stride * cap, 0).astype(jnp.int32)
+    return jnp.where(num_unique > cap, k * stride + jnp.minimum(k, rem), k)
+
+
 def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
                    unit_cap: int):
     """Merge real units with their ghost ids into a ``unit_cap``-row set.
@@ -988,9 +1015,12 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
     ) & (ids3 < bigu)
     ids_m = jnp.where(is_head, ids3, jnp.int32(bigu))
     pay_m = jnp.where(is_head, pay3, jnp.int32(v))
-    final_ids, src = jax.lax.sort((ids_m, pay_m), num_keys=1)
-    final_ids = final_ids[:unit_cap]
-    src = src[:unit_cap]
+    final_full, src_full = jax.lax.sort((ids_m, pay_m), num_keys=1)
+    # Cap overflow: evenly-spread survivors (see _even_select), not the
+    # lowest-id prefix.
+    sel = _even_select(final_full, jnp.sum(is_head), unit_cap)
+    final_ids = final_full[sel]
+    src = src_full[sel]
     final_valid = final_ids < bigu
     hit = src < v
     srcc = jnp.minimum(src, v - 1)
@@ -1050,32 +1080,22 @@ def units_from_voxels(features, active: ActiveSet, z_slab: int,
     unit_ids = jnp.full((v,), bigu, jnp.int32).at[target].set(
         uid_s, mode="drop", unique_indices=True
     )
-    unit_starts = jnp.full((v,), v, jnp.int32).at[target].set(
+    unit_valid = unit_ids < bigu
+    # Placement by INVERSE PERMUTATION: each sorted voxel row lands in
+    # exactly one (unit rank, local z) cell — build inv[dest] = row with
+    # one scalar scatter, then fetch feature rows with one full-row
+    # gather. The earlier per-unit window formulation
+    # (vmap(dynamic_slice) over data-dependent starts + one-hot einsum)
+    # hit XLA:TPU's serial gather path and honestly cost ~995 ms at FHD
+    # batch-4 — 90% of the sparse e2e (scripts/profile_ufv_parts.py);
+    # scalar scatters and full-row gathers measure ~1-3 ms at this scale.
+    dest = jnp.where(valid_s, urank * z_slab + zl_s, jnp.int32(v * z_slab))
+    inv = jnp.full((v * z_slab,), v, jnp.int32).at[dest].set(
         arange_v, mode="drop", unique_indices=True
     )
-    unit_valid = unit_ids < bigu
-    f_pad = jnp.pad(f_s, ((0, z_slab), (0, 0)))
-    zl_pad = jnp.pad(zl_s, (0, z_slab), constant_values=-1)
-    uid_pad = jnp.pad(uid_s, (0, z_slab), constant_values=bigu + 1)
-
-    def win(s):
-        return (
-            jax.lax.dynamic_slice(f_pad, (s, 0), (z_slab, c)),
-            jax.lax.dynamic_slice(zl_pad, (s,), (z_slab,)),
-            jax.lax.dynamic_slice(uid_pad, (s,), (z_slab,)),
-        )
-
-    fw, zw, uw = jax.vmap(win)(unit_starts)
-    own = uw == unit_ids[:, None]
-    sel = (
-        (zw[:, :, None] == jnp.arange(z_slab, dtype=jnp.int32)[None, None, :])
-        & own[:, :, None]
-    )
-    colf = jnp.einsum(
-        "vrz,vrc->vzc", sel.astype(f_s.dtype), fw,
-        preferred_element_type=jnp.float32,
-    ).astype(f_s.dtype)
-    mask = sel.any(axis=1)
+    f_pad = jnp.concatenate([f_s, jnp.zeros((1, c), f_s.dtype)])
+    colf = f_pad[inv].reshape(v, z_slab, c)
+    mask = (inv < v).reshape(v, z_slab)
     final_ids, final_valid, m_out, f_out, _ = _insert_ghosts(
         unit_ids, unit_valid, mask, colf, ncs, bigu, unit_cap
     )
@@ -1277,7 +1297,11 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     is_head = jnp.concatenate(
         [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
     ) & (cand < obig)
-    out_ids = jax.lax.sort(jnp.where(is_head, cand, obig))[:max_out]
+    heads_sorted = jax.lax.sort(jnp.where(is_head, cand, obig))
+    # Cap overflow: evenly-spread survivors (see _even_select), not the
+    # lowest-id prefix.
+    out_ids = heads_sorted[_even_select(heads_sorted, jnp.sum(is_head),
+                                        max_out)]
     out_valid = out_ids < obig
     return ColumnSet(
         col_ids=out_ids, valid=out_valid,

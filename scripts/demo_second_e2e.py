@@ -43,13 +43,14 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo",
     db = LyftDB(root, root / "data")
     infos = create_infos(db, num_sweeps=1, classes=classes)
 
-    # --sparse: the column-sparse middle (SpMiddleFHD capability) at a
+    # --sparse: the z-slab UNIT sparse middle (SpMiddleFHD capability, the
+    # production sparse path — configs/second_lyft_9class_sparse.yaml) at a
     # scaled-down geometry — 3D voxels (nz 16), 1 pt/voxel, simple encoder —
     # exercising the fused stencil forward AND reverse-stencil backward in
     # a real learning loop.
     middle_kw = dict(
         voxel_size=(0.8, 0.8, 0.5), max_voxels=8192, max_points_per_voxel=1,
-        encoder="simple", middle="sparse_columns",
+        encoder="simple", middle="sparse_units", middle_z_slab=8,
         middle_features=(16, 32, 64),
         middle_max_voxels=(8192, 4096, 2048),
         rpn_up_strides=(1, 2, 4),
