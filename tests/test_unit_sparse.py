@@ -281,3 +281,59 @@ class TestUnitMiddleModule:
         out_u, _ = m_u.apply(p_u2, f, act)
         np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestEvenSelect:
+    """Cap-overflow selection policy (ops/column_sparse._even_select)."""
+
+    def test_identity_under_cap(self):
+        from lyft3d_tpu.ops.column_sparse import _even_select
+
+        vals = jnp.asarray(
+            np.concatenate([np.arange(10) * 7, np.full(22, 2**30)]),
+            jnp.int32,
+        )
+        sel = _even_select(vals, jnp.int32(10), 16)
+        np.testing.assert_array_equal(np.asarray(sel), np.arange(16))
+
+    def test_even_spread_over_cap(self):
+        from lyft3d_tpu.ops.column_sparse import _even_select
+
+        n, cap = 103, 16
+        vals = jnp.asarray(
+            np.concatenate([np.sort(np.random.RandomState(0).choice(
+                10_000, n, replace=False)), np.full(29, 2**30)]),
+            jnp.int32,
+        )
+        sel = np.asarray(_even_select(vals, jnp.int32(n), cap))
+        # Strictly increasing positions, all within the unique prefix.
+        assert (np.diff(sel) > 0).all()
+        assert sel[0] == 0 and sel[-1] < n
+        # Evenly rank-spaced: consecutive gaps differ by at most 1.
+        gaps = np.diff(sel)
+        assert gaps.max() - gaps.min() <= 1
+        # Gathered values stay ascending-unique.
+        got = np.asarray(vals)[sel]
+        assert (np.diff(got) > 0).all()
+
+    def test_downsample_units_overflow_spreads(self):
+        """On cap overflow the surviving output units span the id range
+        rather than the lowest-id (spatially banded) prefix."""
+        rng = np.random.RandomState(3)
+        shape = (32, 32, 8)
+        cap = 256
+        act = random_active(rng, shape, 250, cap=cap)
+        f = jnp.asarray(rng.randn(cap, 3).astype(np.float32))
+        units, _ = units_from_voxels(f, act, 4)
+        full = downsample_units(units, 2, 512)
+        n_full = int(np.asarray(full.valid).sum())
+        max_out = max(n_full // 2, 8)
+        capped = downsample_units(units, 2, max_out)
+        cv = np.asarray(capped.valid)
+        assert cv.sum() == max_out
+        ids_full = np.asarray(full.col_ids)[np.asarray(full.valid)]
+        ids_cap = np.asarray(capped.col_ids)[cv]
+        # Survivors reach into the top decile of the full id range —
+        # a truncated prefix would stop at the median.
+        assert ids_cap.max() >= np.quantile(ids_full, 0.9)
+        assert (np.diff(ids_cap) > 0).all()
