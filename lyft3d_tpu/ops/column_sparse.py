@@ -947,24 +947,6 @@ def _unit_nc(nz: int, z_slab: int) -> int:
     return -(-nz // z_slab)
 
 
-def _ghost_candidates(unit_ids, unit_valid, mask, ncs: int, bigu):
-    """Ids of the z-adjacent GHOST units each real unit requires.
-
-    A submanifold/strided read at a cross-column query (col±δ, c) reaches
-    (col±δ, c)'s halo rows — which carry (col±δ, c∓1)'s boundary cells. If
-    the aligned unit (col±δ, c) is inactive, the id match finds nothing
-    and the contribution is lost. So every unit whose FIRST cell is active
-    demands an (empty) unit one slab below, and every unit whose LAST cell
-    is active demands one above; ghost rows are zero (their halo fills at
-    conv time) with all-false masks, so they never cascade."""
-    slab = unit_ids % ncs
-    lo = jnp.where(unit_valid & mask[:, 0] & (slab != 0),
-                   unit_ids - 1, bigu)
-    hi = jnp.where(unit_valid & mask[:, -1] & (slab != ncs - 1),
-                   unit_ids + 1, bigu)
-    return lo, hi
-
-
 def _even_select(sorted_vals, num_unique, cap: int, k=None):
     """Evenly-spread cap selection over an ascending-unique prefix.
 
@@ -992,35 +974,69 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
     Returns (ids, valid, mask, colf, src) where ``src`` maps each ROW of
     the OUTPUT to its source row in the input (V for ghost/empty rows).
 
-    Placement is gather-based and scatter-free: a (id, payload) pair
-    sort orders each id group with the real row (payload < V) ahead of
-    its ghost candidates (payload = V), so the group head carries the
-    source row; a second pair sort compacts the heads (non-heads parked
-    at bigu fall off the truncated tail — the highest ids drop on cap
-    overflow, as before) and the feature rows are fetched with one
-    gather. Earlier formulations paid for TPU scatters here: wide-row
-    scatter placement cost ≈ 200 ms at FHD batch-4 and even scalar
-    compaction scatters cost ≈ 120 ms in context, vs ≈ 20 ms for the
-    two pair sorts + row gathers."""
+    Why ghosts: a submanifold/strided read at a cross-column query
+    (col±δ, c) reaches (col±δ, c)'s halo rows — which carry
+    (col±δ, c∓1)'s boundary cells. If the aligned unit (col±δ, c) is
+    inactive, the id match finds nothing and the contribution is lost.
+    So every unit whose FIRST cell is active demands an (empty) unit one
+    slab below, and every unit whose LAST cell is active demands one
+    above; ghost rows are zero (their halo fills at conv time) with
+    all-false masks, so they never cascade.
+
+    ``unit_ids`` arrives sorted UNIQUE ascending (head-compacted by the
+    caller), so the merged sequence {ids} ∪ {ghosts id±1} is built
+    POSITIONALLY — no sort at all: each real unit emits 1-3 ordered
+    entries ([id−1,] id[, id+1]) after ghost dedup against its literal
+    neighbors, an exclusive cumsum of the emit counts assigns every
+    entry its final rank, and three scalar scatters place (id, src)
+    into a compacted buffer. Earlier formulations paid two 3V-length
+    (id, payload) pair sorts here — ≈ 20 ms at FHD batch-4, ~all of
+    units_from_voxels' cost — vs ~1-2 ms for the cumsum + scatters.
+    (Wide-row feature scatters stay out: features are fetched with one
+    row gather through ``src`` exactly as before.)"""
     v = unit_ids.shape[0]
-    lo, hi = _ghost_candidates(unit_ids, unit_valid, mask, ncs, bigu)
-    ids3 = jnp.concatenate([unit_ids, lo, hi])
-    pay3 = jnp.concatenate([
-        jnp.arange(v, dtype=jnp.int32),
-        jnp.full((2 * v,), v, jnp.int32),
-    ])
-    ids3, pay3 = jax.lax.sort((ids3, pay3), num_keys=2)
-    is_head = jnp.concatenate(
-        [jnp.ones((1,), bool), ids3[1:] != ids3[:-1]]
-    ) & (ids3 < bigu)
-    ids_m = jnp.where(is_head, ids3, jnp.int32(bigu))
-    pay_m = jnp.where(is_head, pay3, jnp.int32(v))
-    final_full, src_full = jax.lax.sort((ids_m, pay_m), num_keys=1)
+    slab = unit_ids % ncs
+    need_lo = unit_valid & mask[:, 0] & (slab != 0)
+    need_hi = unit_valid & mask[:, -1] & (slab != ncs - 1)
+    prev_ids = jnp.concatenate([jnp.full((1,), bigu, jnp.int32),
+                                unit_ids[:-1]])
+    next_ids = jnp.concatenate([unit_ids[1:],
+                                jnp.full((1,), bigu, jnp.int32)])
+    prev_hi = jnp.concatenate([jnp.zeros((1,), bool), need_hi[:-1]])
+    # id−1 is covered when the previous REAL unit is id−1, or when its
+    # hi-ghost (emitted at rank P[i−1]+…) is id−1 (prev real id−2).
+    emit_lo = need_lo & ~(
+        (prev_ids == unit_ids - 1) | ((prev_ids == unit_ids - 2) & prev_hi)
+    )
+    # id+1 is covered by a REAL next unit; a duplicate lo-ghost of the
+    # next unit (next real id+2 needing its id+1) is dropped THERE by
+    # the emit_lo rule, keeping this hi-ghost as the single copy.
+    emit_hi = need_hi & ~(next_ids == unit_ids + 1)
+    cnt = jnp.where(unit_valid,
+                    1 + emit_lo.astype(jnp.int32) + emit_hi.astype(jnp.int32),
+                    0)
+    pos = jnp.cumsum(cnt) - cnt  # exclusive prefix: rank of entry group i
+    total = pos[-1] + cnt[-1]
+    buf_len = max(3 * v, unit_cap)
+    park = jnp.int32(buf_len)
+    arange_v = jnp.arange(v, dtype=jnp.int32)
+    dest_real = jnp.where(unit_valid, pos + emit_lo, park)
+    dest_lo = jnp.where(emit_lo, pos, park)
+    dest_hi = jnp.where(emit_hi, pos + 1 + emit_lo, park)
+    buf_ids = (
+        jnp.full((buf_len,), bigu, jnp.int32)
+        .at[dest_real].set(unit_ids, mode="drop", unique_indices=True)
+        .at[dest_lo].set(unit_ids - 1, mode="drop", unique_indices=True)
+        .at[dest_hi].set(unit_ids + 1, mode="drop", unique_indices=True)
+    )
+    buf_src = jnp.full((buf_len,), v, jnp.int32).at[dest_real].set(
+        arange_v, mode="drop", unique_indices=True
+    )
     # Cap overflow: evenly-spread survivors (see _even_select), not the
     # lowest-id prefix.
-    sel = _even_select(final_full, jnp.sum(is_head), unit_cap)
-    final_ids = final_full[sel]
-    src = src_full[sel]
+    sel = _even_select(buf_ids, total, unit_cap)
+    final_ids = buf_ids[sel]
+    src = buf_src[sel]
     final_valid = final_ids < bigu
     hit = src < v
     srcc = jnp.minimum(src, v - 1)
@@ -1043,7 +1059,7 @@ def units_from_voxels(features, active: ActiveSet, z_slab: int,
 
     The set includes GHOST units (empty, all-false mask) wherever a
     boundary-active cell must be readable through a z-neighbor's halo
-    (see ``_ghost_candidates``). ``unit_cap`` defaults to V + V/4 — at
+    (see ``_insert_ghosts``). ``unit_cap`` defaults to V + V/4 — at
     uniform z a voxel sits on a slab boundary with probability 2/z_slab.
     """
     nx, ny, nz = active.spatial_shape
@@ -1255,7 +1271,7 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     (mask[-1] spills real activity into output slab c+1's first cell —
     odd global z feeds two outputs — and activity in rows z_in−3..z_in−1
     makes output (c, last) active, which demands the unit ABOVE as a
-    ghost halo carrier, see ``_ghost_candidates``); slab−1 when any of
+    ghost halo carrier, see ``_insert_ghosts``); slab−1 when any of
     the FIRST 2 cells is active (output (c, first) active demands the
     unit below). Output slab size is z_slab/2; NC is invariant. The exact
     per-cell activity mask is filled by ``strided_conv_units_batched``'s
@@ -1266,6 +1282,7 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     ony = (ny + 2 - 3) // 2 + 1
     zso = max(1, cols.nz // 2)
     obig = jnp.int32(onx * ony * ncs)
+    vu = cols.col_ids.shape[0]
     x = cols.coords[:, 0] // ncs
     slab = cols.coords[:, 0] - x * ncs
     yy = cols.coords[:, 1]
@@ -1275,33 +1292,78 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     up = cols.mask[:, -3:].any(axis=1) & (slab < ncs - 1)
     down = cols.mask[:, :2].any(axis=1) & (slab > 0)
 
-    combos = jnp.asarray(
-        list(itertools.product(range(2), range(2), (-1, 0, 1))), jnp.int32
-    )
+    # One sorted pass over the 4 PARENT combos only (same-slab ds = 0);
+    # the gated slab±1 candidates are re-derived AFTER dedup by the same
+    # positional 1-3-entry expansion as ``_insert_ghosts`` — this used to
+    # be a 12-combo candidate list through TWO full-length sorts (sort +
+    # head-compaction sort over 12·Vu), the dominant cost of the strided
+    # layers at FHD (honest stage-0 strided: 32 ms/batch-4, ~25 of them
+    # here). Now: one (id, flags) pair sort over 4·Vu + cumsum/scatter
+    # compaction, ~3-6x less sort work and no second sort.
+    combos4 = jnp.asarray(list(itertools.product(range(2), range(2))),
+                          jnp.int32)
 
     def per_combo(j):
-        o = o_lo + j[None, :2]
-        ds = j[2]
+        o = o_lo + j[None, :]
         ok = (
             cols.valid
             & jnp.all(o <= o_hi, axis=1)
             & (o[:, 0] >= 0) & (o[:, 0] < onx)
             & (o[:, 1] >= 0) & (o[:, 1] < ony)
-            & jnp.where(ds == 0, True, jnp.where(ds > 0, up, down))
         )
-        oid = (o[:, 1] * onx + o[:, 0]) * ncs + slab + ds
-        return jnp.where(ok, oid, obig)
+        oid = (o[:, 1] * onx + o[:, 0]) * ncs + slab
+        flags = jnp.where(ok, up.astype(jnp.int32) * 2 + down.astype(
+            jnp.int32), 0)
+        return jnp.where(ok, oid, obig), flags
 
-    cand = jax.vmap(per_combo)(combos).reshape(-1)
-    cand = jnp.sort(cand)
-    is_head = jnp.concatenate(
+    cand, cfl = jax.vmap(per_combo)(combos4)
+    cand, cfl = cand.reshape(-1), cfl.reshape(-1)
+    n4 = cand.shape[0]
+    cand, cfl = jax.lax.sort((cand, cfl), num_keys=1)
+    head = jnp.concatenate(
         [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
     ) & (cand < obig)
-    heads_sorted = jax.lax.sort(jnp.where(is_head, cand, obig))
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # segment id per row
+    total = seg[-1] + 1  # rows past the last head keep its segment id
+    segc = jnp.where(cand < obig, seg, n4)
+    # Parent ids compacted by scatter (no second sort) + flag OR via
+    # segment sums.
+    par = jnp.full((n4,), obig, jnp.int32).at[
+        jnp.where(head, seg, n4)
+    ].set(cand, mode="drop", unique_indices=True)
+    upsum = jnp.zeros((n4,), jnp.int32).at[segc].add(cfl // 2, mode="drop")
+    dnsum = jnp.zeros((n4,), jnp.int32).at[segc].add(cfl % 2, mode="drop")
+    pvalid = par < obig
+    need_hi = (upsum > 0) & pvalid
+    need_lo = (dnsum > 0) & pvalid
+    # Positional 1-3-entry expansion ([id−1,] id [, id+1]) with the
+    # _insert_ghosts dedup rules; par is sorted unique ascending.
+    prev_ids = jnp.concatenate([jnp.full((1,), obig, jnp.int32), par[:-1]])
+    next_ids = jnp.concatenate([par[1:], jnp.full((1,), obig, jnp.int32)])
+    prev_hi = jnp.concatenate([jnp.zeros((1,), bool), need_hi[:-1]])
+    emit_lo = need_lo & ~(
+        (prev_ids == par - 1) | ((prev_ids == par - 2) & prev_hi)
+    )
+    emit_hi = need_hi & ~(next_ids == par + 1)
+    cnt = jnp.where(pvalid,
+                    1 + emit_lo.astype(jnp.int32) + emit_hi.astype(jnp.int32),
+                    0)
+    pos = jnp.cumsum(cnt) - cnt
+    total2 = pos[-1] + cnt[-1]
+    buf_len = max(3 * n4, max_out)
+    park = jnp.int32(buf_len)
+    buf = (
+        jnp.full((buf_len,), obig, jnp.int32)
+        .at[jnp.where(pvalid, pos + emit_lo, park)]
+        .set(par, mode="drop", unique_indices=True)
+        .at[jnp.where(emit_lo, pos, park)]
+        .set(par - 1, mode="drop", unique_indices=True)
+        .at[jnp.where(emit_hi, pos + 1 + emit_lo, park)]
+        .set(par + 1, mode="drop", unique_indices=True)
+    )
     # Cap overflow: evenly-spread survivors (see _even_select), not the
     # lowest-id prefix.
-    out_ids = heads_sorted[_even_select(heads_sorted, jnp.sum(is_head),
-                                        max_out)]
+    out_ids = buf[_even_select(buf, total2, max_out)]
     out_valid = out_ids < obig
     return ColumnSet(
         col_ids=out_ids, valid=out_valid,

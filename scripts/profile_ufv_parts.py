@@ -5,11 +5,11 @@ Two full input variants; the fori body picks variant i % 2 so nothing
 hoists (see profile_sparse_honest.py). Prefixes replicate ufv's stages;
 per-prefix deltas localize the cost.
 
-NOTE: prefixes 3-5 replicate the PRE-round-3-fix window formulation
-(vmap(dynamic_slice) + one-hot einsum) — kept as the measurement that
-motivated the inverse-permutation placement now in units_from_voxels
-(window gather: +995 ms at FHD batch-4; the last prefix and the "real"
-line call the current code).
+Prefixes mirror the CURRENT formulation (inverse-permutation placement +
+scatter-based positional ghost merge). History: the original per-unit
+window formulation (vmap(dynamic_slice) + one-hot einsum) measured
++995 ms at FHD batch-4 here, motivating the inverse permutation; the
+pair-sort ghost merge measured ~20 ms, motivating the positional merge.
 
 Usage: python scripts/profile_ufv_parts.py [batch] [iters]
 """
@@ -127,31 +127,18 @@ def prefix(stage: int):
         if stage == 3:
             return unit_ids, unit_starts
         unit_valid = unit_ids < bigu
-        f_pad = jnp.pad(f_s, ((0, ZS), (0, 0)))
-        zl_pad = jnp.pad(zl_s, (0, ZS), constant_values=-1)
-        uid_pad = jnp.pad(uid_s, (0, ZS), constant_values=bigu + 1)
-
-        def win(s):
-            return (
-                jax.lax.dynamic_slice(f_pad, (s, 0), (ZS, C)),
-                jax.lax.dynamic_slice(zl_pad, (s,), (ZS,)),
-                jax.lax.dynamic_slice(uid_pad, (s,), (ZS,)),
-            )
-
-        fw, zw, uw = jax.vmap(win)(unit_starts)
-        if stage == 4:
-            return fw, zw, uw
-        own = uw == unit_ids[:, None]
-        sel = (
-            (zw[:, :, None]
-             == jnp.arange(ZS, dtype=jnp.int32)[None, None, :])
-            & own[:, :, None]
+        # Inverse-permutation placement (current formulation): one scalar
+        # scatter builds inv[dest] = row, one full-row gather fetches.
+        urank_c = jnp.minimum(urank, v - 1)
+        dest = jnp.where(valid_s, urank_c * ZS + zl_s, jnp.int32(v * ZS))
+        inv = jnp.full((v * ZS,), v, jnp.int32).at[dest].set(
+            arange_v, mode="drop", unique_indices=True
         )
-        colf = jnp.einsum(
-            "vrz,vrc->vzc", sel.astype(f_s.dtype), fw,
-            preferred_element_type=jnp.float32,
-        ).astype(f_s.dtype)
-        mask = sel.any(axis=1)
+        if stage == 4:
+            return (inv,)
+        f_pad = jnp.concatenate([f_s, jnp.zeros((1, C), f_s.dtype)])
+        colf = f_pad[inv].reshape(v, ZS, C)
+        mask = (inv < v).reshape(v, ZS)
         if stage == 5:
             return colf, mask
         out = cs._insert_ghosts(unit_ids, unit_valid, mask, colf, NCS,
@@ -172,8 +159,8 @@ def main():
         "1 head+cumsum",
         "2 scatter unit_ids",
         "3 scatter unit_starts",
-        "4 window gather",
-        "5 sel+einsum placement",
+        "4 scatter inv permutation",
+        "5 row gather + reshape",
         "6 _insert_ghosts (full ufv)",
     ]
     prev = 0.0
