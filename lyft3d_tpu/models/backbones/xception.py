@@ -128,5 +128,65 @@ class InceptionV4(nn.Module):
         return tuple(feats)
 
 
+class InceptionResBlock(nn.Module):
+    """Scaled-residual inception block (``modelzoo/inceptionresnetv2.py``
+    Block35/Block17/Block8 pattern): parallel 1x1 / 3x3 / double-3x3
+    branches → concat → 1x1 linear projection back to the trunk width →
+    ``x + scale * branch`` with a trailing ReLU."""
+
+    features: int
+    scale: float = 0.17
+    norm_type: str = "group"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        f = max(self.features // 8, 16)
+        b1 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b2 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b2 = ConvNormAct(f, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b2)
+        b3 = ConvNormAct(f, kernel=1, dtype=self.dtype, norm_type=self.norm_type)(x)
+        b3 = ConvNormAct(f * 3 // 2, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b3)
+        b3 = ConvNormAct(f * 2, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(b3)
+        mixed = jnp.concatenate([b1, b2, b3], axis=-1)
+        up = ConvNormAct(self.features, kernel=1, act=False,
+                         dtype=self.dtype, norm_type=self.norm_type)(mixed)
+        return nn.relu(x + jnp.asarray(self.scale, self.dtype) * up)
+
+
+class InceptionResNetV2(nn.Module):
+    """Inception-ResNet-v2 as a 4-stage encoder — the last reference
+    modelzoo entry (``unet_baseline/models/modelzoo/inceptionresnetv2.py``,
+    stem :276-296, repeated scaled-residual blocks :299-320 with the
+    canonical 0.17/0.10/0.20 branch scales, reductions between stages).
+    Stage widths follow the reference trunk (320/1088/2080 after the
+    reductions) with a light /4 stage prepended so the encoder exposes the
+    same /4 /8 /16 /32 contract as every other backbone here."""
+
+    stage_features: Sequence[int] = (128, 320, 1088, 2080)
+    blocks_per_stage: Sequence[int] = (1, 2, 4, 2)
+    block_scales: Sequence[float] = (0.17, 0.17, 0.10, 0.20)
+    norm_type: str = "group"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        # Stem (conv2d_1a..4a): two /2 steps to /4 overall.
+        x = ConvNormAct(32, kernel=3, strides=2, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(32, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(x)
+        x = ConvNormAct(64, kernel=3, dtype=self.dtype, norm_type=self.norm_type)(x)
+        feats = []
+        for f, n, s in zip(self.stage_features, self.blocks_per_stage, self.block_scales):
+            x = ConvNormAct(f, kernel=3, strides=2, dtype=self.dtype,
+                            norm_type=self.norm_type)(x)  # reduction
+            for _ in range(n):
+                x = InceptionResBlock(f, scale=s, dtype=self.dtype,
+                                      norm_type=self.norm_type)(x)
+            feats.append(x)
+        return tuple(feats)
+
+
 register_backbone("xception", lambda **kw: Xception(**kw))
 register_backbone("inception_v4", lambda **kw: InceptionV4(**kw))
+register_backbone("inceptionresnetv2", lambda **kw: InceptionResNetV2(**kw))

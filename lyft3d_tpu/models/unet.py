@@ -150,5 +150,6 @@ for _b in (
     "dpn68",
     "xception",
     "inception_v4",
+    "inceptionresnetv2",
 ):
     register_model(f"unet_{_b}")(_make_backbone_unet(_b))

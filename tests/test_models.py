@@ -41,6 +41,11 @@ class TestUNets:
         logits, _, _ = _forward("unet_seresnext26", in_ch=6, hw=32)
         assert logits.shape[-1] == 10
 
+    def test_inceptionresnetv2_unet_shapes(self):
+        logits, aux, _ = _forward("unet_inceptionresnetv2", hw=32)
+        assert logits.shape == (1, 32, 32, 10)
+        assert aux.shape == (1, 10)
+
     def test_registry_lists_families(self):
         names = list_models()
         for expected in (
@@ -50,6 +55,7 @@ class TestUNets:
             "unet_efficientnet_b5",
             "unet_xception",
             "unet_inception_v4",
+            "unet_inceptionresnetv2",
             "deeplab_seresnext50",
             "deeplab_wide_resnet38",
             "efficientnet_b3_unet",
