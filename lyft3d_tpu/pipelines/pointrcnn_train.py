@@ -208,13 +208,20 @@ def train_pointrcnn_rpn(
     num_parts: int = 4,
     seed: int = 0,
     num_workers: int = 4,
+    n_devices: Optional[int] = None,
 ):
     """RPN training with the reference's 4-part round-robin over the split.
 
     Sample assembly runs on ``num_workers`` prefetch threads (the
     reference's DataLoader workers, train_rcnn.py:80-105) — the schedule of
     stem picks is deterministic given ``seed``, so the parallel map changes
-    nothing about which batches train."""
+    nothing about which batches train.
+
+    ``n_devices`` > 1 trains data-parallel over the ICI mesh: the batch is
+    sharded along its leading axis, params/opt-state replicated, and XLA
+    inserts the gradient all-reduce — the TPU-native equivalent of the
+    reference's ``--mgpus`` ``DataParallel`` (train_rcnn.py:252-253), which
+    covered PointRCNN as well as SECOND."""
     model = PointRCNN_RPN(cfg)
     b0 = loader.batch(loader.stems[:batch_size])
     params = jax.jit(model.init)(
@@ -226,6 +233,14 @@ def train_pointrcnn_rpn(
     tx = build_optimizer("adam_onecycle", lr, total_steps=steps)
     opt_state = tx.init(params)
     step = make_rpn_step(model, cfg, tx)
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from lyft3d_tpu.parallel.mesh import make_data_mesh, replicate
+
+        mesh = make_data_mesh(batch_size, n_devices)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
 
     parts = split_parts(loader.stems, num_parts)
     rng = np.random.RandomState(seed)
@@ -248,7 +263,12 @@ def train_pointrcnn_rpn(
     )
     losses = []
     for batch_np in batches:
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            from lyft3d_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch_np)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         params, opt_state, loss, metrics = step(params, opt_state, batch)
         losses.append(float(loss))
     return model, params, losses
@@ -450,11 +470,17 @@ def train_rcnn_online(
     lr: float = 1e-3,
     seed: int = 0,
     roi_noise: bool = True,
+    batch_size: int = 1,
+    n_devices: Optional[int] = None,
 ):
     """ONLINE ``rcnn`` train mode (train_rcnn.py:177-190, RPN.FIXED): the
     frozen RPN runs every step, proposals are generated live, optionally
     perturbed by RoI noise, then the RCNN trains on RoI-pooled live
     features. Only RCNN parameters receive gradients.
+
+    ``batch_size`` frames are processed per step (vmapped stage-1 + loss);
+    with ``n_devices`` > 1 the frame axis is sharded over a data-parallel
+    mesh (reference ``--mgpus`` DataParallel parity, train_rcnn.py:252-253).
 
     Returns (rcnn_model, rcnn_params, losses).
     """
@@ -472,8 +498,13 @@ def train_rcnn_online(
 
     rcnn = PointRCNN_RCNN(cfg)
 
-    @jax.jit
-    def stage1(xyz, valid, gt, gt_valid, key):
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from lyft3d_tpu.parallel.mesh import make_data_mesh
+
+        mesh = make_data_mesh(batch_size, n_devices)
+
+    def stage1_one(xyz, valid, gt, gt_valid, key):
         """Frozen RPN → proposals (+ optional noise) → pooled RoI points."""
         feats = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
         out = rpn_model.apply(rpn_params, xyz, feats, valid)
@@ -500,6 +531,8 @@ def train_rcnn_online(
         roi_pts = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
         return roi_pts, counts, rois, tgts
 
+    stage1 = jax.jit(stage1_one)
+
     b0 = loader.sample(loader.stems[0])
     pts0, counts0, _, _ = stage1(
         jnp.asarray(b0["points"]), jnp.asarray(b0["points_valid"]),
@@ -510,11 +543,19 @@ def train_rcnn_online(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # Frame-batched variants: stage-1 and the loss vmap over a leading
+    # frame axis so a (sharded) multi-frame step is one program.
+    stage1_batch = jax.jit(jax.vmap(stage1_one))
+
     @jax.jit
     def step(params, opt_state, roi_pts, counts, rois, tgts, gt):
         def lf(p):
-            out = rcnn.apply(p, roi_pts, counts)
-            return rcnn_loss(out, rois, tgts, gt, cfg)
+            def one(rp, cn, ro, tg, g):
+                out = rcnn.apply(p, rp, cn)
+                return rcnn_loss(out, ro, tg, g, cfg)
+
+            losses, metrics = jax.vmap(one)(roi_pts, counts, rois, tgts, gt)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -523,18 +564,28 @@ def train_rcnn_online(
     rng = np.random.RandomState(seed)
     # Deterministic pick schedule → parallel sample assembly on prefetch
     # threads (the reference's DataLoader workers, train_rcnn.py:80-105).
-    picks = [loader.stems[rng.randint(len(loader.stems))] for _ in range(steps)]
+    picks = [
+        [loader.stems[rng.randint(len(loader.stems))] for _ in range(batch_size)]
+        for _ in range(steps)
+    ]
 
     from lyft3d_tpu.data.prefetch import MappedPrefetcher
 
-    samples = MappedPrefetcher(lambda: iter(picks), loader.sample,
+    batches = MappedPrefetcher(lambda: iter(picks), loader.batch,
                                num_workers=4)
     losses = []
-    for i, s in enumerate(samples):
-        gt = jnp.asarray(s["gt_boxes"])
-        roi_pts, counts, rois, tgts = stage1(
-            jnp.asarray(s["points"]), jnp.asarray(s["points_valid"]),
-            gt, jnp.asarray(s["gt_valid"]), jax.random.PRNGKey(seed * 7919 + i),
+    for i, b in enumerate(batches):
+        if mesh is not None:
+            from lyft3d_tpu.parallel.mesh import shard_batch
+
+            b = shard_batch(mesh, b)
+        gt = jnp.asarray(b["gt_boxes"])
+        keys = jax.random.split(
+            jax.random.PRNGKey(seed * 7919 + i), batch_size
+        )
+        roi_pts, counts, rois, tgts = stage1_batch(
+            jnp.asarray(b["points"]), jnp.asarray(b["points_valid"]),
+            gt, jnp.asarray(b["gt_valid"]), keys,
         )
         params, opt_state, loss = step(
             params, opt_state, roi_pts, counts, rois, tgts, gt
