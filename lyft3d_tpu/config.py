@@ -221,7 +221,9 @@ class SecondExperiment:
     block_size: int = 8
     height_threshold: float = 0.2
     encoder: str = "pillars"
-    middle: str = "scatter"  # scatter | sparse_units | sparse_columns | sparse
+    # scatter (pillars) | sparse_units (PRODUCTION sparse path) |
+    # sparse_columns (measured alternative) | sparse (test oracle only)
+    middle: str = "scatter"
     # Sparse middle sizing (middle == "sparse"): per-stage channel widths
     # and active-voxel caps of the strided sparse-conv stack
     # (SpMiddleFHD's downsample chain, second/pytorch/models/middle.py).

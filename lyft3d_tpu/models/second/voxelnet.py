@@ -42,12 +42,17 @@ class VoxelNetConfig:
     encoder: str = "pillars"  # simple | vfe | pillars
     encoder_features: Tuple[int, ...] = (64,)
     # Middle extractor: "scatter" = PointPillars BEV scatter;
-    # "sparse_units" = SpMiddleFHD-style stack over active z-slab UNITS of
-    # BEV columns (ops.column_sparse round 3 — the TPU-fast sparse path;
-    # work scales with occupancy instead of the full column z);
-    # "sparse_columns" = the dense-z BEV-column formulation;
-    # "sparse" = the per-voxel gather-einsum formulation (reference
-    # implementation, kept for A/B and equivalence tests).
+    # "sparse_units" = THE production sparse path (SpMiddleFHD capability):
+    # a stack over active z-slab UNITS of BEV columns (ops.column_sparse —
+    # work scales with occupancy instead of the full column z; this is
+    # what configs/second_lyft_9class_sparse.yaml selects and what the
+    # bench times).
+    # The other two sparse formulations are NOT production paths:
+    # "sparse_columns" (dense-z BEV-column) is a measured alternative kept
+    # for A/B comparison; "sparse" (per-voxel gather-einsum) is the
+    # equivalence-test ORACLE — the direct transliteration of sparse-conv
+    # semantics that the fast formulations are tested against
+    # (tests/test_column_sparse.py), not something to train with.
     middle: str = "scatter"
     middle_features: Tuple[int, ...] = (16, 32, 64)
     middle_max_voxels: Tuple[int, ...] = (8192, 4096, 2048)

@@ -217,6 +217,12 @@ def multi_radius_ball_query(centers, points, valid, radii, nsamples):
     once and running only the per-radius mask + first-k selection again
     roughly halves the 2-radius cost. Returns [(idx, count), ...].
     """
+    # Measured note (v5e-1, batch 4, stage-0 shape): the fused VMEM kernel
+    # (ops.select_kernel.multi_radius_ball_query_fused) and this
+    # shared-d2 + approx_min_k formulation are within ~20% of each other
+    # (the k iterative extraction passes cost about what the HBM
+    # round-trips do); the approx path wins slightly, so it stays the
+    # default and the kernel remains an available alternate.
     d2 = jnp.sum((centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)
     out = []
     for radius, nsample in zip(radii, nsamples):
@@ -236,14 +242,14 @@ def three_nn(unknown, known, known_valid):
 
     Returns (dists (N, 3), idx (N, 3)) — interpolate_gpu.cu capability.
     """
+    if _use_approx(known.shape[0]):
+        # Fused VMEM-resident exact 3-NN (ops.select_kernel) — no (N, M)
+        # HBM matrix (59 -> ~5 ms at the (16384, 4096) FP stage-0 shape).
+        from lyft3d_tpu.ops.select_kernel import knn_fused
+
+        return knn_fused(unknown, known, known_valid, 3)
     d2 = jnp.sum((unknown[:, None, :] - known[None, :, :]) ** 2, axis=-1)
     d2 = jnp.where(known_valid[None, :], d2, _BIG)
-    if _use_approx(d2.shape[-1]):
-        # PartialReduce 3-NN (~4x the exact TopK at the (16384, 4096) FP
-        # stage-0 shape); a rare missed true neighbor only perturbs the
-        # inverse-distance weights of one interpolated point.
-        d2k, idx = jax.lax.approx_min_k(d2, 3)
-        return jnp.sqrt(jnp.maximum(d2k, 0.0)), idx.astype(jnp.int32)
     neg, idx = jax.lax.top_k(-d2, 3)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 
@@ -269,6 +275,9 @@ def roi_pool3d(points, features, valid, boxes, num_sampled: int = 512,
     h = boxes[:, 5] + 2 * extra_width
     yaw = boxes[:, 6]
 
+    # (The fused in-box kernel ops.select_kernel.roi_inside_select_fused
+    # measured on par with this path at the (100, 16384) k=512 shape —
+    # k extraction passes dominate; it remains an available alternate.)
     d = points[None, :, :3] - jnp.stack([x, y, z], -1)[:, None, :]
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     lx = c[:, None] * d[:, :, 0] + s[:, None] * d[:, :, 1]

@@ -30,14 +30,26 @@ def run_demo(script: str, steps: int, out: Path, extra=()) -> dict:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated curve keys to (re)run; existing "
+                         "keys in docs/curves.json are preserved")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
     work = Path("/tmp/lyft3d_curves")
-    curves = {}
+    out = REPO / "docs" / "curves.json"
+    curves = json.loads(out.read_text()) if out.exists() else {}
     for script, key, extra in [
         ("demo_bev_e2e.py", "bev_unet", ()),
         ("demo_second_e2e.py", "second_voxelnet", ()),
         ("demo_second_e2e.py", "second_voxelnet_sparse", ("--sparse",)),
         ("demo_pointrcnn_e2e.py", "pointrcnn_refined", ()),
     ]:
+        if only is not None and key not in only:
+            continue
         curves[key] = []
         for steps in STEPS:
             try:
@@ -51,7 +63,6 @@ def main():
                 point = {"steps": steps, "error": f"{type(e).__name__}: {e}"[:500]}
             print(f"{key} @ {steps} steps: {point}", flush=True)
             curves[key].append(point)
-    out = REPO / "docs" / "curves.json"
     out.write_text(json.dumps(curves, indent=2))
     print(f"wrote {out}", flush=True)
 
