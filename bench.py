@@ -514,7 +514,7 @@ def main() -> None:
         # as the flagship's bf16 inference. The RCNN head's grouped MLPs
         # are the single largest joint-forward cost (~147 ms of the 460 ms
         # batch-4 forward in f32, profile_pointrcnn_stages.py).
-        pmodel = PointRCNN(pcfg, dtype=jnp.bfloat16)
+        pmodel = PointRCNN(pcfg, dtype=jnp.bfloat16, norm="folded")
         PR_N = 16384
         PR_BATCH = 4
         pr_pts = jnp.asarray(

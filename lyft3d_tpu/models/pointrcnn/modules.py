@@ -24,16 +24,28 @@ from lyft3d_tpu.ops.pointnet2 import (
 
 
 class SharedMLP(nn.Module):
-    """Pointwise Dense+LayerNorm+ReLU stack (pytorch_utils.SharedMLP)."""
+    """Pointwise Dense+norm+ReLU stack (pytorch_utils.SharedMLP).
+
+    ``norm="layer"`` (training default) inserts LayerNorm after each
+    Dense; ``norm="folded"`` is the deployment structure after the norm's
+    scale/shift has been folded into the Dense (conv+bias+ReLU, no norm
+    op) — same policy as the BEV flagship's folded-BN inference. On the
+    grouped SA tensors every norm op is a full-activation HBM round-trip
+    (~9 ms per LayerNorm at the RCNN stage-1 (400, 128, 64, 128) shape,
+    v5e-1), so the folded structure matters at inference."""
 
     features: Sequence[int]
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, x):
         for f in self.features:
-            x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            if self.norm == "folded":
+                x = nn.Dense(f, use_bias=True, dtype=self.dtype)(x)
+            else:
+                x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -51,6 +63,7 @@ class SAModuleMSG(nn.Module):
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, xyz, features, valid):
@@ -58,20 +71,27 @@ class SAModuleMSG(nn.Module):
         new_xyz = xyz[sel]
         new_valid = valid[sel]
 
+        # Cast features to the compute dtype BEFORE the (S, K, C) group
+        # gather — the gathered tensor is the module's bandwidth peak
+        # (e.g. 440 MB f32 vs 220 MB bf16 at the RCNN stage-1 shape) and
+        # the MLP would cast right after anyway. Geometry stays f32.
+        feats_c = features.astype(self.dtype) if features is not None else None
         outs = []
         # One shared (S, N) distance matrix serves every radius.
         queries = multi_radius_ball_query(
             new_xyz, xyz, valid, self.radii, self.nsamples
         )
         for (idx, count), nsample, mlp in zip(queries, self.nsamples, self.mlps):
-            grouped_xyz = group_points(xyz, idx) - new_xyz[:, None, :]
-            if features is not None:
+            grouped_xyz = (group_points(xyz, idx) - new_xyz[:, None, :]).astype(
+                self.dtype
+            )
+            if feats_c is not None:
                 grouped = jnp.concatenate(
-                    [grouped_xyz, group_points(features, idx)], axis=-1
-                ) if self.use_xyz else group_points(features, idx)
+                    [grouped_xyz, group_points(feats_c, idx)], axis=-1
+                ) if self.use_xyz else group_points(feats_c, idx)
             else:
                 grouped = grouped_xyz
-            h = SharedMLP(mlp, dtype=self.dtype)(grouped)  # (S, K, C')
+            h = SharedMLP(mlp, dtype=self.dtype, norm=self.norm)(grouped)  # (S, K, C')
             slot_ok = (jnp.arange(nsample)[None, :] < jnp.maximum(count, 1)[:, None])
             h = jnp.where(slot_ok[..., None], h, -jnp.inf)
             pooled = jnp.max(h, axis=1)
@@ -86,11 +106,12 @@ class SAModuleGlobal(nn.Module):
     mlp: Sequence[int]
     use_xyz: bool = True
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, xyz, features, valid):
         x = jnp.concatenate([xyz, features], axis=-1) if self.use_xyz else features
-        h = SharedMLP(self.mlp, dtype=self.dtype)(x)
+        h = SharedMLP(self.mlp, dtype=self.dtype, norm=self.norm)(x)
         h = jnp.where(valid[:, None], h, -jnp.inf)
         pooled = jnp.max(h, axis=0)
         return pooled  # (C',)
@@ -101,6 +122,7 @@ class FPModule(nn.Module):
 
     mlp: Sequence[int]
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, unknown_xyz, unknown_feats, known_xyz, known_feats, known_valid):
@@ -108,4 +130,4 @@ class FPModule(nn.Module):
         interp = three_interpolate(known_feats, idx, d)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, dtype=self.dtype)(interp)
+        return SharedMLP(self.mlp, dtype=self.dtype, norm=self.norm)(interp)

@@ -162,6 +162,7 @@ class PointRCNNBackbone(nn.Module):
 
     cfg: PointRCNNConfig
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, xyz, features, valid):
@@ -174,7 +175,7 @@ class PointRCNNBackbone(nn.Module):
             mlps = [[w, w] for _ in radii]
             x2, f2, v2 = SAModuleMSG(
                 npoint=npoint, radii=radii, nsamples=nsamples, mlps=mlps,
-                dtype=self.dtype,
+                dtype=self.dtype, norm=self.norm,
             )(x, f, v)
             stack.append((x2, f2, v2))
 
@@ -183,7 +184,8 @@ class PointRCNNBackbone(nn.Module):
         for i in range(len(stack) - 1, 0, -1):
             ux, uf, uv = stack[i - 1]
             kx, _, kv = stack[i]
-            up_feats = FPModule([c.fp_width, c.fp_width], dtype=self.dtype)(
+            up_feats = FPModule([c.fp_width, c.fp_width], dtype=self.dtype,
+                                norm=self.norm)(
                 ux, uf, kx, up_feats, kv
             )
         return up_feats  # (N, fp_width)
@@ -192,11 +194,13 @@ class PointRCNNBackbone(nn.Module):
 class PointRCNN_RPN(nn.Module):
     cfg: PointRCNNConfig
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, xyz, features, valid):
-        feats = PointRCNNBackbone(self.cfg, dtype=self.dtype)(xyz, features, valid)
-        h = SharedMLP([self.cfg.fp_width], dtype=self.dtype)(feats)
+        feats = PointRCNNBackbone(self.cfg, dtype=self.dtype, norm=self.norm)(
+            xyz, features, valid)
+        h = SharedMLP([self.cfg.fp_width], dtype=self.dtype, norm=self.norm)(feats)
         # Focal-style init bias on the fg logit (rpn.py:61-66).
         cls = nn.Dense(
             1, bias_init=nn.initializers.constant(-jnp.log((1 - 0.01) / 0.01))
@@ -384,6 +388,7 @@ class PointRCNN_RCNN(nn.Module):
 
     cfg: PointRCNNConfig
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, roi_points, roi_counts):
@@ -395,7 +400,7 @@ class PointRCNN_RCNN(nn.Module):
             in_axes=(0, 0),
             variable_axes={"params": None},
             split_rngs={"params": False},
-        )(cfg=c, dtype=self.dtype)
+        )(cfg=c, dtype=self.dtype, norm=self.norm)
         g = sa(roi_points, roi_counts)  # (R, C')
 
         h = nn.Dense(c.rcnn_widths[-1], dtype=self.dtype)(g)
@@ -408,21 +413,24 @@ class PointRCNN_RCNN(nn.Module):
 class _RoIEncoder(nn.Module):
     cfg: PointRCNNConfig
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, pts, count):
         c = self.cfg
         xyz = pts[:, :3]
-        feats = SharedMLP([c.rcnn_widths[0]], dtype=self.dtype)(pts)
+        feats = SharedMLP([c.rcnn_widths[0]], dtype=self.dtype,
+                          norm=self.norm)(pts)
         valid = jnp.arange(pts.shape[0]) < jnp.maximum(count, 1)
         for npoint, w, r, ns in zip(
             c.rcnn_sa_npoints, c.rcnn_widths, c.rcnn_sa_radii, c.rcnn_sa_nsamples
         ):
             xyz, feats, valid = SAModuleMSG(
                 npoint=npoint, radii=(r,), nsamples=(ns,), mlps=[[w, w]],
-                dtype=self.dtype,
+                dtype=self.dtype, norm=self.norm,
             )(xyz, feats, valid)
-        return SAModuleGlobal([c.rcnn_widths[-1]], dtype=self.dtype)(xyz, feats, valid)
+        return SAModuleGlobal([c.rcnn_widths[-1]], dtype=self.dtype,
+                              norm=self.norm)(xyz, feats, valid)
 
 
 class PointRCNN(nn.Module):
@@ -435,6 +443,7 @@ class PointRCNN(nn.Module):
 
     cfg: PointRCNNConfig
     dtype: Any = jnp.float32
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, xyz, features, valid):
@@ -442,7 +451,8 @@ class PointRCNN(nn.Module):
         feats_in = features if features is not None else jnp.zeros(
             (xyz.shape[0], 1), xyz.dtype
         )
-        rpn_out = PointRCNN_RPN(c, dtype=self.dtype)(xyz, feats_in, valid)
+        rpn_out = PointRCNN_RPN(c, dtype=self.dtype, norm=self.norm)(
+            xyz, feats_in, valid)
 
         props = proposal_layer(
             xyz,
@@ -463,7 +473,8 @@ class PointRCNN(nn.Module):
         )
         canon = canonical_transform(pooled[..., :3], rois)
         roi_pts = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
-        rcnn_out = PointRCNN_RCNN(c, dtype=self.dtype)(roi_pts, counts)
+        rcnn_out = PointRCNN_RCNN(c, dtype=self.dtype, norm=self.norm)(
+            roi_pts, counts)
         # The stage-2 deliverable: RCNN regression decoded into refined
         # lidar-frame boxes (eval_rcnn.py decodes rcnn_reg before scoring).
         refined = decode_refined_boxes(rois, rcnn_out["reg"], c.rcnn_coder)

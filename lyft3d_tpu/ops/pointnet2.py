@@ -37,11 +37,12 @@ _BIG = 1e10
 # Row length above which first-k / k-NN selections switch from exact
 # ``lax.top_k`` (an O(N·k)-ish sort path that measured 247 ms at the
 # (4, 4096, 16384) k=32 stage-0 ball-query shape on v5e-1) to the
-# TPU-native ``lax.approx_min_k`` PartialReduce (35 ms, 7x). Approximation
-# is safe here: a missed in-radius neighbor only swaps which member pads
-# the group before max-pooling, and the sentinel/empty handling below is
-# unchanged. Small (test/RoI-encoder) shapes stay exact.
-_APPROX_MIN_N = 2048
+# TPU-native ``lax.approx_min_k`` PartialReduce (35 ms, 7x; at the RCNN
+# encoder's (51200, 512) k=64 shape the gap is 17x — 29 -> 1.7 ms).
+# Approximation is safe here: a missed in-radius neighbor only swaps
+# which member pads the group before max-pooling, and the sentinel/empty
+# handling below is unchanged. Small (test) shapes stay exact.
+_APPROX_MIN_N = 512
 
 
 def _use_approx(n: int) -> bool:

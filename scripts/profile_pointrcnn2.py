@@ -88,7 +88,7 @@ def main():
           pts, sub, subv)
 
     feats = jnp.zeros((B, N, 1))
-    rpn = PointRCNN_RPN(cfg, dtype=jnp.bfloat16)
+    rpn = PointRCNN_RPN(cfg, dtype=jnp.bfloat16, norm="folded")
     rpn_params = jax.eval_shape(
         rpn.init, jax.random.PRNGKey(0), pts[0], feats[0], valid[0])
     rpn_params = jax.tree_util.tree_map(
@@ -113,7 +113,7 @@ def main():
               extra_width=cfg.roi_extra_width)),
           pts, rpn_out["point_features"], valid, props["rois"])
 
-    model = PointRCNN(cfg, dtype=jnp.bfloat16)
+    model = PointRCNN(cfg, dtype=jnp.bfloat16, norm="folded")
     params = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), pts[0], None, valid[0])
     params = jax.tree_util.tree_map(

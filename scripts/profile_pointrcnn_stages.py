@@ -83,7 +83,7 @@ def main():
     roi_pts = jnp.asarray(
         rng.randn(B, R, P, 3 + 128).astype(np.float32))
     counts = jnp.full((B, R), P, jnp.int32)
-    model = PointRCNN_RCNN(cfg, dtype=jnp.bfloat16)
+    model = PointRCNN_RCNN(cfg, dtype=jnp.bfloat16, norm="folded")
     params = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             roi_pts[0], counts[0])
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
