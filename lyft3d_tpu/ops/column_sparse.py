@@ -967,12 +967,20 @@ def _even_select(sorted_vals, num_unique, cap: int, k=None):
     return jnp.where(num_unique > cap, k * stride + jnp.minimum(k, rem), k)
 
 
-def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
-                   unit_cap: int):
+def _insert_ghosts(unit_ids, unit_valid, first_occ, last_occ, ncs: int,
+                   bigu, unit_cap: int):
     """Merge real units with their ghost ids into a ``unit_cap``-row set.
 
-    Returns (ids, valid, mask, colf, src) where ``src`` maps each ROW of
-    the OUTPUT to its source row in the input (V for ghost/empty rows).
+    ID-ONLY: takes per-unit boundary-occupancy bits (``first_occ`` /
+    ``last_occ`` — cell 0 / cell z_slab−1 active) instead of the feature
+    expansion, and returns (final_ids, final_valid, out_pos) where
+    ``out_pos[i]`` is the OUTPUT row of input unit rank i (``unit_cap``
+    for dropped rows). The caller scatters voxel features straight into
+    the final (unit_cap, z_slab, C) layout through ``out_pos`` — the
+    earlier interface materialized an intermediate (V, z_slab, C)
+    expansion here and re-gathered it through a src map, two serial
+    row-gather passes (~50 ms of the 53 ms units_from_voxels cost at FHD
+    batch-4) that one direct scatter replaces.
 
     Why ghosts: a submanifold/strided read at a cross-column query
     (col±δ, c) reaches (col±δ, c)'s halo rows — which carry
@@ -992,12 +1000,11 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
     into a compacted buffer. Earlier formulations paid two 3V-length
     (id, payload) pair sorts here — ≈ 20 ms at FHD batch-4, ~all of
     units_from_voxels' cost — vs ~1-2 ms for the cumsum + scatters.
-    (Wide-row feature scatters stay out: features are fetched with one
-    row gather through ``src`` exactly as before.)"""
+    """
     v = unit_ids.shape[0]
     slab = unit_ids % ncs
-    need_lo = unit_valid & mask[:, 0] & (slab != 0)
-    need_hi = unit_valid & mask[:, -1] & (slab != ncs - 1)
+    need_lo = unit_valid & first_occ & (slab != 0)
+    need_hi = unit_valid & last_occ & (slab != ncs - 1)
     prev_ids = jnp.concatenate([jnp.full((1,), bigu, jnp.int32),
                                 unit_ids[:-1]])
     next_ids = jnp.concatenate([unit_ids[1:],
@@ -1019,7 +1026,6 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
     total = pos[-1] + cnt[-1]
     buf_len = max(3 * v, unit_cap)
     park = jnp.int32(buf_len)
-    arange_v = jnp.arange(v, dtype=jnp.int32)
     dest_real = jnp.where(unit_valid, pos + emit_lo, park)
     dest_lo = jnp.where(emit_lo, pos, park)
     dest_hi = jnp.where(emit_hi, pos + 1 + emit_lo, park)
@@ -1029,20 +1035,19 @@ def _insert_ghosts(unit_ids, unit_valid, mask, colf, ncs: int, bigu,
         .at[dest_lo].set(unit_ids - 1, mode="drop", unique_indices=True)
         .at[dest_hi].set(unit_ids + 1, mode="drop", unique_indices=True)
     )
-    buf_src = jnp.full((buf_len,), v, jnp.int32).at[dest_real].set(
-        arange_v, mode="drop", unique_indices=True
-    )
     # Cap overflow: evenly-spread survivors (see _even_select), not the
     # lowest-id prefix.
     sel = _even_select(buf_ids, total, unit_cap)
     final_ids = buf_ids[sel]
-    src = buf_src[sel]
     final_valid = final_ids < bigu
-    hit = src < v
-    srcc = jnp.minimum(src, v - 1)
-    f_out = jnp.where(hit[:, None, None], colf[srcc], 0)
-    m_out = mask[srcc] & hit[:, None]
-    return final_ids, final_valid, m_out, f_out, src
+    # Output row of each input unit rank: invert sel over the buffer
+    # (scalar scatter), then read it at the unit's buffer position.
+    inv_sel = jnp.full((buf_len + 1,), unit_cap, jnp.int32).at[sel].set(
+        jnp.arange(unit_cap, dtype=jnp.int32), mode="drop",
+        unique_indices=True,
+    )
+    out_pos = inv_sel[jnp.minimum(dest_real, buf_len)]
+    return final_ids, final_valid, out_pos
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1097,23 +1102,47 @@ def units_from_voxels(features, active: ActiveSet, z_slab: int,
         uid_s, mode="drop", unique_indices=True
     )
     unit_valid = unit_ids < bigu
-    # Placement by INVERSE PERMUTATION: each sorted voxel row lands in
-    # exactly one (unit rank, local z) cell — build inv[dest] = row with
-    # one scalar scatter, then fetch feature rows with one full-row
-    # gather. The earlier per-unit window formulation
-    # (vmap(dynamic_slice) over data-dependent starts + one-hot einsum)
-    # hit XLA:TPU's serial gather path and honestly cost ~995 ms at FHD
-    # batch-4 — 90% of the sparse e2e (scripts/profile_ufv_parts.py);
-    # scalar scatters and full-row gathers measure ~1-3 ms at this scale.
-    dest = jnp.where(valid_s, urank * z_slab + zl_s, jnp.int32(v * z_slab))
-    inv = jnp.full((v * z_slab,), v, jnp.int32).at[dest].set(
-        arange_v, mode="drop", unique_indices=True
+    # Per-unit boundary-occupancy bits for the ghost rule: within a unit
+    # the sorted z's ascend, so the HEAD voxel holds the smallest local z
+    # (cell 0 occupied iff its zl == 0) and the TAIL voxel the largest
+    # (cell z_slab−1 occupied iff its zl == z_slab−1).
+    tail = (
+        jnp.concatenate([head[1:], jnp.ones((1,), bool)]) & valid_s
     )
-    f_pad = jnp.concatenate([f_s, jnp.zeros((1, c), f_s.dtype)])
-    colf = f_pad[inv].reshape(v, z_slab, c)
-    mask = (inv < v).reshape(v, z_slab)
-    final_ids, final_valid, m_out, f_out, _ = _insert_ghosts(
-        unit_ids, unit_valid, mask, colf, ncs, bigu, unit_cap
+    target_t = jnp.where(tail, urank, v)
+    first_occ = jnp.zeros((v,), bool).at[target].set(
+        zl_s == 0, mode="drop", unique_indices=True
+    )
+    last_occ = jnp.zeros((v,), bool).at[target_t].set(
+        zl_s == z_slab - 1, mode="drop", unique_indices=True
+    )
+    final_ids, final_valid, out_pos = _insert_ghosts(
+        unit_ids, unit_valid, first_occ, last_occ, ncs, bigu, unit_cap
+    )
+    # Placement by ONE DIRECT ROW SCATTER into the final ghost-merged
+    # layout: each sorted voxel row lands in exactly one (output unit
+    # row, local z) cell. Writes only the V occupied rows; the earlier
+    # pipeline materialized an intermediate (V, z_slab, C) expansion by
+    # row gather and re-gathered it through a src map — two passes
+    # through XLA:TPU's serial row-gather path, ~50 of units_from_voxels'
+    # 53 ms at FHD batch-4. (The original per-unit window formulation —
+    # vmap(dynamic_slice) + one-hot einsum — cost ~995 ms here,
+    # scripts/profile_ufv_parts.py.)
+    row = out_pos[jnp.minimum(urank, v - 1)]
+    dest = jnp.where(
+        valid_s & (row < unit_cap), row * z_slab + zl_s,
+        jnp.int32(unit_cap * z_slab),
+    )
+    f_out = (
+        jnp.zeros((unit_cap * z_slab, c), f_s.dtype)
+        .at[dest].set(f_s, mode="drop", unique_indices=True)
+        .reshape(unit_cap, z_slab, c)
+    )
+    m_out = (
+        jnp.zeros((unit_cap * z_slab,), jnp.int32)
+        .at[dest].set(1, mode="drop", unique_indices=True)
+        .astype(bool)
+        .reshape(unit_cap, z_slab)
     )
     cols = ColumnSet(col_ids=final_ids, valid=final_valid, mask=m_out,
                      bev_shape=(nx * ncs, ny), nz=z_slab)
@@ -1319,23 +1348,69 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     cand, cfl = jax.vmap(per_combo)(combos4)
     cand, cfl = cand.reshape(-1), cfl.reshape(-1)
     n4 = cand.shape[0]
-    cand, cfl = jax.lax.sort((cand, cfl), num_keys=1)
+    # ONE single-array sort with the 2 flag bits packed into the key (the
+    # pair sort permutes a payload lane too; obig·4 stays well inside
+    # int32). Every scalar scatter at this scale costs ~7 ms through
+    # XLA:TPU's serial scatter path, and the old pipeline ran SIX
+    # n4-length scatters (par compaction + 2 flag segment-sums + 3 ghost
+    # placements) — 55 ms of the 62 ms FHD stage-0 strided layer. Now:
+    # flag aggregation is a segmented-OR scan (vector work), parents +
+    # flags compact through ONE (n4, 2)-row scatter onto a P-length list,
+    # and the ghost expansion's three scatters run at P, not n4.
+    skey = jax.lax.sort(jnp.where(cand < obig, cand * 4 + cfl, obig * 4))
+    cand = skey // 4
+    cfl = skey - cand * 4
     head = jnp.concatenate(
         [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
     ) & (cand < obig)
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # segment id per row
     total = seg[-1] + 1  # rows past the last head keep its segment id
-    segc = jnp.where(cand < obig, seg, n4)
-    # Parent ids compacted by scatter (no second sort) + flag OR via
-    # segment sums.
-    par = jnp.full((n4,), obig, jnp.int32).at[
-        jnp.where(head, seg, n4)
-    ].set(cand, mode="drop", unique_indices=True)
-    upsum = jnp.zeros((n4,), jnp.int32).at[segc].add(cfl // 2, mode="drop")
-    dnsum = jnp.zeros((n4,), jnp.int32).at[segc].add(cfl % 2, mode="drop")
+
+    # Segmented OR of the flag bits (reset at heads); the TAIL row of
+    # each segment holds the full OR.
+    def seg_or(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av | bv), ah | bh
+
+    flag_or, _ = jax.lax.associative_scan(
+        seg_or, (cfl, head.astype(jnp.int32))
+    )
+    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)]) & (cand < obig)
+
+    # Compacted parent list length: at FHD occupancy each input has
+    # ~2.25 parent candidates with little sharing, so unique parents run
+    # ~2.25·vu — 3·vu avoids the drop in the common case while still
+    # pruning the 4·vu candidate buffer.
+    p_cap = min(n4, max(2 * max_out, 3 * vu))
+    # Overflow drop: remove every d_period-th RANK (evenly interleaved).
+    # A stride/remainder pattern (_even_select's) front-loads the wide
+    # spacing and keeps a CONTIGUOUS tail band when stride == 1; that
+    # locally-dense id band blows the downstream stencil windows into the
+    # whole-batch XLA fallback (measured: stage-0 strided 62 -> 113 ms).
+    # Interleaved drops keep the survivor density uniform at any ratio;
+    # a handful of floor-rounding leftovers spill past p_cap and are
+    # tail-truncated by the slot bound.
+    overflow = total > p_cap
+    den = jnp.maximum(total - p_cap, 1)
+    d_period = jnp.maximum(total // den, 2)
+    kept = jnp.where(overflow, seg % d_period != d_period - 1, True)
+    slot = jnp.where(overflow, seg - (seg + 1) // d_period, seg)
+    dest_p = jnp.where(tail & kept & (slot < p_cap), slot, p_cap)
+    # TWO scalar scatters, NOT one (n4, 2)-row scatter: row scatters run
+    # XLA:TPU's serial per-row path (55 ms at this length vs 7 ms per
+    # scalar scatter, measured v5e-1).
+    par = jnp.full((p_cap,), obig, jnp.int32).at[dest_p].set(
+        cand, mode="drop", unique_indices=True
+    )
+    pfl = jnp.zeros((p_cap,), jnp.int32).at[dest_p].set(
+        flag_or, mode="drop", unique_indices=True
+    )
+    pfl = jnp.where(par < obig, pfl, 0)
     pvalid = par < obig
-    need_hi = (upsum > 0) & pvalid
-    need_lo = (dnsum > 0) & pvalid
+    need_hi = (pfl >= 2) & pvalid
+    need_lo = (pfl % 2 > 0) & pvalid
+    n4 = p_cap  # ghost expansion below runs at the compacted length
     # Positional 1-3-entry expansion ([id−1,] id [, id+1]) with the
     # _insert_ghosts dedup rules; par is sorted unique ascending.
     prev_ids = jnp.concatenate([jnp.full((1,), obig, jnp.int32), par[:-1]])
