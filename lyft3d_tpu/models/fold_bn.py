@@ -25,32 +25,37 @@ __all__ = ["fold_batch_norms"]
 _EPS = 1e-5  # flax nn.BatchNorm default
 
 
+def _fold_pair(linear, bn, st):
+    """kernel' = kernel·s, bias' = beta − mean·s (+ old_bias·s)."""
+    s = bn["scale"] / jnp.sqrt(st["var"] + _EPS)
+    kernel = linear["kernel"] * s  # broadcast over the output dim
+    bias = bn["bias"] - st["mean"] * s
+    if "bias" in linear:  # the linear layer had a bias (norm=False elsewhere)
+        bias = bias + linear["bias"] * s
+    return {"kernel": kernel, "bias": bias}
+
+
 def _fold_node(params_node, stats_node):
-    """Fold every (Conv_0, BatchNorm_0) sibling pair under this node."""
-    out = {}
-    for key, val in params_node.items():
-        if not isinstance(val, dict):
-            out[key] = val
+    """Fold every (Conv_i|Dense_i, BatchNorm_i) INDEX-MATCHED sibling pair
+    under this node (flax auto-numbering pairs each norm with the linear
+    layer that precedes it: ConvNormAct emits Conv_0/BatchNorm_0, SharedMLP
+    Dense_0/BatchNorm_0, Dense_1/BatchNorm_1, ...), recursing into all
+    other children."""
+    node = {
+        key: (_fold_node(val, stats_node.get(key, {}))
+              if isinstance(val, dict) else val)
+        for key, val in params_node.items()
+    }
+    for key in [k for k in node if k.startswith("BatchNorm_")]:
+        idx = key.split("_", 1)[1]
+        mate = next(
+            (m for m in (f"Conv_{idx}", f"Dense_{idx}") if m in node), None
+        )
+        if mate is None or key not in stats_node:
             continue
-        if "Conv_0" in val and "BatchNorm_0" in val:
-            conv = dict(val["Conv_0"])
-            bn = val["BatchNorm_0"]
-            st = stats_node[key]["BatchNorm_0"]
-            s = bn["scale"] / jnp.sqrt(st["var"] + _EPS)
-            kernel = conv["kernel"] * s  # broadcast over the output dim
-            bias = bn["bias"] - st["mean"] * s
-            if "bias" in conv:  # conv had a bias (norm=False elsewhere)
-                bias = bias + conv["bias"] * s
-            folded = dict(val)
-            folded["Conv_0"] = {"kernel": kernel, "bias": bias}
-            del folded["BatchNorm_0"]
-            # recurse into any other children (e.g. nested submodules)
-            out[key] = _fold_node(
-                folded, stats_node.get(key, {})
-            )
-        else:
-            out[key] = _fold_node(val, stats_node.get(key, {}))
-    return out
+        node[mate] = _fold_pair(node[mate], node[key], stats_node[key])
+        del node[key]
+    return node
 
 
 def fold_batch_norms(variables):

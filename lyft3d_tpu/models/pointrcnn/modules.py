@@ -26,13 +26,21 @@ from lyft3d_tpu.ops.pointnet2 import (
 class SharedMLP(nn.Module):
     """Pointwise Dense+norm+ReLU stack (pytorch_utils.SharedMLP).
 
-    ``norm="layer"`` (training default) inserts LayerNorm after each
-    Dense; ``norm="folded"`` is the deployment structure after the norm's
-    scale/shift has been folded into the Dense (conv+bias+ReLU, no norm
-    op) — same policy as the BEV flagship's folded-BN inference. On the
-    grouped SA tensors every norm op is a full-activation HBM round-trip
-    (~9 ms per LayerNorm at the RCNN stage-1 (400, 128, 64, 128) shape,
-    v5e-1), so the folded structure matters at inference."""
+    ``norm`` options:
+    - "layer" (training default): LayerNorm after each Dense — pure
+      train step, but per-sample statistics can NOT be folded into the
+      Dense, so a layer-trained checkpoint never reaches "folded".
+    - "batch": BatchNorm with running stats — the reference's
+      ``BatchNorm1d/2d`` (``pytorch_utils.py:5-236``). Train steps apply
+      with ``mutable=["batch_stats"]`` (detected via
+      ``is_mutable_collection``, like ``layers.ConvNormAct``).
+    - "folded": deployment structure (Dense WITH bias, no norm op).
+      Reachable from a trained "batch" checkpoint via
+      ``models.fold_bn.fold_batch_norms`` — function-preserving for
+      eval-mode outputs (exactness-tested). On the grouped SA tensors
+      every norm op is a full-activation HBM round-trip (~9 ms per norm
+      at the RCNN stage-1 (400, 128, 64, 128) shape, v5e-1), so the
+      folded structure matters at inference."""
 
     features: Sequence[int]
     dtype: Any = jnp.float32
@@ -43,6 +51,14 @@ class SharedMLP(nn.Module):
         for f in self.features:
             if self.norm == "folded":
                 x = nn.Dense(f, use_bias=True, dtype=self.dtype)(x)
+            elif self.norm == "batch":
+                x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
+                x = nn.BatchNorm(
+                    use_running_average=not self.is_mutable_collection(
+                        "batch_stats"
+                    ),
+                    dtype=self.dtype,
+                )(x)
             else:
                 x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
                 x = nn.LayerNorm(dtype=self.dtype)(x)

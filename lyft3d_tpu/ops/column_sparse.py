@@ -1106,8 +1106,13 @@ def units_from_voxels(features, active: ActiveSet, z_slab: int,
     # the sorted z's ascend, so the HEAD voxel holds the smallest local z
     # (cell 0 occupied iff its zl == 0) and the TAIL voxel the largest
     # (cell z_slab−1 occupied iff its zl == z_slab−1).
+    # Tail = last voxel of its unit: the NEXT row's uid differs (padding
+    # rows park at bigu, so the valid→padding boundary fires too — using
+    # head[1:] here would AND in the next row's validity and silently
+    # drop the LAST unit's tail whenever padding follows it).
     tail = (
-        jnp.concatenate([head[1:], jnp.ones((1,), bool)]) & valid_s
+        jnp.concatenate([uid_s[1:] != uid_s[:-1], jnp.ones((1,), bool)])
+        & valid_s
     )
     target_t = jnp.where(tail, urank, v)
     first_occ = jnp.zeros((v,), bool).at[target].set(
@@ -1376,7 +1381,15 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     flag_or, _ = jax.lax.associative_scan(
         seg_or, (cfl, head.astype(jnp.int32))
     )
-    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)]) & (cand < obig)
+    # Tail = last row of its segment by ID CHANGE (cand parks at obig on
+    # invalid rows, so the valid→padding boundary fires); head[1:] would
+    # AND in the next row's sub-obig validity and drop the final
+    # segment's tail — and with it the highest-id parent — whenever
+    # padding rows follow it.
+    tail = (
+        jnp.concatenate([cand[1:] != cand[:-1], jnp.ones((1,), bool)])
+        & (cand < obig)
+    )
 
     # Compacted parent list length: at FHD occupancy each input has
     # ~2.25 parent candidates with little sharing, so unique parents run

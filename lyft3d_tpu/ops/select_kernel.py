@@ -70,8 +70,13 @@ def _extract_min_k(key, out_ref, cnt_ref, out_offset: int, k: int,
         m = jnp.min(key, axis=1, keepdims=True)  # (R, 1)
         if nearest:
             # Key is d2; recover the argmin lane (lowest index on ties).
+            # An exhausted row (m == _BIGK, fewer than k valid points)
+            # must emit a MISS — every lane matches the sentinel min, so
+            # the bare lane-min would return lane 0, a real index, and
+            # the caller's d2 >= n guard would never fire.
             idx = jnp.min(jnp.where(key == m, lane, _BIGK), axis=1,
                           keepdims=True)
+            idx = jnp.where(m >= _BIGK, jnp.float32(_BIGK), idx)
         else:
             # Key IS the point index.
             idx = m

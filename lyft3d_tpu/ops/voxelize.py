@@ -28,6 +28,10 @@ import jax.numpy as jnp
 
 __all__ = ["VoxelGrid", "voxelize", "block_filter_mask"]
 
+# Packing pitch for the (start, count) compaction payload: start·_PACK +
+# count fits int32 for n < 2^31/_PACK ≈ 8.4M points.
+_PACK = 256
+
 
 class VoxelGrid(NamedTuple):
     """Static voxelization spec (from config; voxel_generator proto —
@@ -186,16 +190,11 @@ def voxelize(
     is_head = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     ) & (sorted_ids < big)
-    # Voxel slot per sorted point: running count of heads − 1.
-    slot_of_sorted = jnp.cumsum(is_head) - 1  # (N,)
+    # Voxel RANK per sorted point: running count of heads − 1.
+    rank_of_sorted = jnp.cumsum(is_head) - 1  # (N,)
     num_unique = jnp.sum(is_head)
+    total_valid = jnp.sum(sorted_ids < big)
 
-    # Head positions + voxel ids via a compaction sort: heads keep their
-    # position as key, non-heads sink with key n+pos (stable-ordered tail).
-    head_key = jnp.where(is_head, arange_n, n + arange_n)
-    starts_full, vids_full = jax.lax.sort(
-        (head_key, sorted_ids), dimension=0, num_keys=1, is_stable=False
-    )
     # Overflow policy: when more than ``max_voxels`` voxels are occupied,
     # keep an EVENLY-SPREAD subset over the sorted id order instead of the
     # sorted prefix. A prefix is a spatial band (low-y at this id order),
@@ -203,34 +202,64 @@ def voxelize(
     # survivors into a dense region (measured: the dense band blew the
     # column-stencil windows into their slow fallback). The reference drops
     # excess voxels in hash-insertion order (~point order); even spreading
-    # is the deterministic fixed-shape analogue. sel is strictly increasing
-    # so outputs stay ascending-unique.
-    k_idx = jnp.arange(max_voxels, dtype=jnp.int32)
-    stride = jnp.maximum(num_unique // max_voxels, 1).astype(jnp.int32)
-    rem = jnp.maximum(num_unique - stride * max_voxels, 0).astype(jnp.int32)
-    sel = jnp.where(
+    # is the deterministic fixed-shape analogue.
+    #
+    # Membership is decided IN CLOSED FORM per head rank r (identity when
+    # num_unique <= max_voxels) — the selected ranks are k·s + min(k, rem),
+    # i.e. rem ranks at pitch s+1 then the rest at pitch s — so the kept
+    # set needs no post-compaction gather: the r3 formulation selected
+    # POSITIONS after the compaction sort through three max_voxels-length
+    # dynamic gathers, ~5 ms at the 25k-voxel pillar shape in EVERY regime
+    # (the r3→r4 pillars e2e drift; a lax.cond can't skip them because
+    # voxelize always runs under vmap, where cond lowers to a
+    # both-branches select).
+    s = jnp.maximum(num_unique // max_voxels, 1).astype(jnp.int32)
+    rem = jnp.maximum(num_unique - s * max_voxels, 0).astype(jnp.int32)
+    r = rank_of_sorted
+    in_dense = r < rem * (s + 1)  # the rem leading slots at pitch s+1
+    kept_r = jnp.where(
         num_unique > max_voxels,
-        k_idx * stride + jnp.minimum(k_idx, rem),
-        k_idx,
+        jnp.where(in_dense, r % (s + 1) == 0,
+                  (r - rem) % s == 0) & (r < num_unique),
+        r < num_unique,
     )
-    npad = max(n, max_voxels + 1)
-    starts_padded = jnp.concatenate(
-        [starts_full, jnp.full((npad + 1 - n,), 2 * n, jnp.int32)]
-    )
-    vids_padded = jnp.concatenate(
-        [vids_full, jnp.full((npad - n,), big)]
-    )
-    starts = jnp.minimum(starts_padded[sel], n)  # tail keys are n+pos
-    voxel_ids = vids_padded[sel]
-    voxel_valid = (k_idx < num_unique) & (voxel_ids < big)
+    slot_r = jnp.where(in_dense, r // (s + 1), (r - rem) // s)
+    slot_r = jnp.where(num_unique > max_voxels, slot_r, r)
+    kept_r = kept_r & (slot_r < max_voxels)
 
-    # Per-voxel point counts via TRUE segment boundaries: the end of kept
-    # voxel sel[i] is the start of head sel[i]+1 (which may be a SKIPPED
-    # voxel — never merge a neighbor's points into a kept voxel).
-    ends = jnp.minimum(starts_padded[sel + 1], n)
-    ends = jnp.where(sel + 1 < num_unique, ends, jnp.sum(sorted_ids < big))
-    counts = jnp.where(voxel_valid, ends - starts, 0)
-    num_points = jnp.minimum(counts, max_points_per_voxel)
+    # Per-head segment COUNT in sorted space: the next head's position via
+    # a reverse cummin over head positions (vector work — no gather). A
+    # kept head's segment may be followed by a DROPPED head; its own count
+    # never absorbs the neighbor's points because the boundary is the next
+    # head of ANY kind.
+    head_pos = jnp.where(is_head, arange_n, n)
+    next_head = jnp.concatenate([
+        jax.lax.cummin(head_pos, reverse=True)[1:], jnp.full((1,), n,
+                                                             jnp.int32),
+    ])
+    seg_end = jnp.minimum(next_head, total_valid)
+    cnt = jnp.clip(seg_end - arange_n, 0, max_points_per_voxel)
+
+    # Head positions + ids + counts via ONE compaction sort: kept heads
+    # keep their voxel id as the key (slot order == id order — both ascend
+    # with rank), dropped/non-head rows sink at ``big``; (start, count)
+    # ride as a single packed payload lane, so the sort carries exactly
+    # the operands the r2 formulation did and the outputs are STATIC
+    # slices.
+    assert n * (_PACK + 1) < 2 ** 31 and max_points_per_voxel < _PACK
+    pk = arange_n * _PACK + cnt
+    key = jnp.where(is_head & kept_r, sorted_ids, big)
+    vids_full, pk_full = jax.lax.sort(
+        (key, pk), dimension=0, num_keys=1, is_stable=False
+    )
+    if n < max_voxels:  # fewer points than voxel slots: pad the compaction
+        pad = max_voxels - n
+        vids_full = jnp.concatenate([vids_full, jnp.full((pad,), big)])
+        pk_full = jnp.concatenate([pk_full, jnp.full((pad,), n * _PACK)])
+    voxel_ids = vids_full[:max_voxels]
+    voxel_valid = voxel_ids < big
+    starts = jnp.where(voxel_valid, pk_full[:max_voxels] // _PACK, n)
+    num_points = jnp.where(voxel_valid, pk_full[:max_voxels] % _PACK, 0)
 
     if gather_payload:
         # Windows of the sorted ORIGINAL INDICES (1-int rows — cheap), then
@@ -278,12 +307,11 @@ def voxelize(
         "voxel_valid": voxel_valid,
     }
     if need_point_voxel:
-        # Map each original point to its voxel slot (−1 if dropped/overflow
-        # slot): un-sort the per-point slot by sorting on the carried
-        # original index.
+        # Map each original point to its voxel slot (−1 if its voxel was
+        # dropped by the even-spread overflow policy): un-sort the
+        # per-point slot by sorting on the carried original index.
         slot_sorted = jnp.where(
-            (sorted_ids < big) & (slot_of_sorted < max_voxels),
-            slot_of_sorted, -1,
+            (sorted_ids < big) & kept_r, slot_r, -1
         ).astype(jnp.int32)
         _, point_voxel = jax.lax.sort(
             (orig_idx, slot_sorted), dimension=0, num_keys=1, is_stable=False

@@ -401,10 +401,17 @@ def cache_rcnn_samples(rpn_model, rpn_params, loader: KittiPointRCNNLoader,
 
 
 def train_rcnn_offline(cache, cfg: PointRCNNConfig, steps: int = 100,
-                       lr: float = 1e-3, seed: int = 0):
+                       lr: float = 1e-3, seed: int = 0,
+                       batch_size: int = 1,
+                       n_devices: Optional[int] = None):
     """Offline RCNN training over cached stage-1 samples (train_mode
     rcnn_offline, train_rcnn.py:177-190): RoI-pool cached features, canonical
-    transform, RCNN heads + proposal-target losses."""
+    transform, RCNN heads + proposal-target losses.
+
+    ``batch_size`` cached frames train per step (vmapped); ``n_devices`` > 1
+    shards the frame axis over a data-parallel mesh — DP parity with the
+    reference's ``--mgpus`` DataParallel for the rcnn_offline mode
+    (train_rcnn.py:252-253), matching ``train_rcnn_online``'s wiring."""
     import optax
 
     from lyft3d_tpu.models.pointrcnn.net import (
@@ -417,46 +424,75 @@ def train_rcnn_offline(cache, cfg: PointRCNNConfig, steps: int = 100,
 
     model = PointRCNN_RCNN(cfg)
 
-    def roi_inputs(sample):
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from lyft3d_tpu.parallel.mesh import make_data_mesh, replicate
+
+        mesh = make_data_mesh(batch_size, n_devices)
+
+    def roi_inputs_one(xyz, point_features, points_valid, rois):
         pooled, counts, empty = roi_pool3d(
+            xyz, point_features, points_valid, rois,
+            num_sampled=cfg.roi_points,
+            extra_width=cfg.roi_extra_width,
+        )
+        canon = canonical_transform(pooled[..., :3], rois)
+        return jnp.concatenate([canon, pooled[..., 3:]], axis=-1), counts
+
+    def roi_inputs(sample):
+        return roi_inputs_one(
             jnp.asarray(sample["xyz"]),
             jnp.asarray(sample["point_features"]),
             jnp.asarray(sample["points_valid"]),
             jnp.asarray(sample["rois"]),
-            num_sampled=cfg.roi_points,
-            extra_width=cfg.roi_extra_width,
         )
-        canon = canonical_transform(pooled[..., :3], jnp.asarray(sample["rois"]))
-        return jnp.concatenate([canon, pooled[..., 3:]], axis=-1), counts
 
     pts0, counts0 = roi_inputs(cache[0])
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), pts0, counts0)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
+    if mesh is not None:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
 
     @jax.jit
-    def step(params, opt_state, roi_pts, counts, rois, roi_valid, gt, gt_valid):
-        tgts = proposal_target_layer(rois, roi_valid, gt, gt_valid, cfg,
-                                     jax.random.PRNGKey(0))
-
+    def step(params, opt_state, batch):
         def lf(p):
-            out = model.apply(p, roi_pts, counts)
-            return rcnn_loss(out, rois, tgts, gt, cfg)
+            def one(xyz, pf, pv, rois, roi_valid, gt, gt_valid):
+                roi_pts, counts = roi_inputs_one(xyz, pf, pv, rois)
+                tgts = proposal_target_layer(
+                    rois, roi_valid, gt, gt_valid, cfg, jax.random.PRNGKey(0)
+                )
+                out = model.apply(p, roi_pts, counts)
+                return rcnn_loss(out, rois, tgts, gt, cfg)
+
+            losses, metrics = jax.vmap(one)(
+                batch["xyz"], batch["point_features"],
+                batch["points_valid"], batch["rois"], batch["roi_valid"],
+                batch["gt_boxes"], batch["gt_valid"],
+            )
+            return jnp.mean(losses), jax.tree_util.tree_map(
+                jnp.mean, metrics
+            )
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    keys = ("xyz", "point_features", "points_valid", "rois", "roi_valid",
+            "gt_boxes", "gt_valid")
     rng = np.random.RandomState(seed)
     losses = []
     for i in range(steps):
-        sample = cache[rng.randint(len(cache))]
-        roi_pts, counts = roi_inputs(sample)
-        params, opt_state, loss = step(
-            params, opt_state, roi_pts, counts,
-            jnp.asarray(sample["rois"]), jnp.asarray(sample["roi_valid"]),
-            jnp.asarray(sample["gt_boxes"]), jnp.asarray(sample["gt_valid"]),
-        )
+        picks = [cache[rng.randint(len(cache))] for _ in range(batch_size)]
+        batch = {k: np.stack([np.asarray(s[k]) for s in picks]) for k in keys}
+        if mesh is not None:
+            from lyft3d_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, loss = step(params, opt_state, batch)
         losses.append(float(loss))
     return model, params, losses
 

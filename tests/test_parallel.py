@@ -368,6 +368,103 @@ class TestPointRCNNDP:
                 np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5
             )
 
+    def test_rcnn_dp_gradients_match_single_device(self):
+        """8-way DP gradients through the RCNN refinement step (RoI encoder
+        SA stack + cls/reg heads + proposal-target losses) equal
+        single-device full-batch gradients — the second stage of the
+        reference's ``--mgpus`` DataParallel coverage (train_rcnn.py:252-253
+        wraps the JOINT net; the RPN stage is pinned by the test above)."""
+        import optax
+
+        from lyft3d_tpu.models.pointrcnn.net import (
+            PointRCNN_RCNN,
+            PointRCNNConfig,
+            proposal_target_layer,
+            rcnn_loss,
+        )
+        from lyft3d_tpu.parallel.mesh import (
+            make_mesh,
+            make_train_step_dp,
+            replicate,
+            shard_batch,
+        )
+
+        cfg = PointRCNNConfig(
+            rcnn_sa_npoints=(8, 4),
+            rcnn_widths=(8, 16),
+            rcnn_sa_radii=(2.0, 4.0),
+            rcnn_sa_nsamples=(4, 4),
+            roi_points=16,
+        )
+        rng = np.random.RandomState(1)
+        b, r, p, f = 8, 4, 16, 2
+        rois = np.concatenate(
+            [
+                rng.uniform(-8, 8, (b, r, 2)),
+                rng.uniform(-1, 1, (b, r, 1)),
+                rng.uniform(2, 6, (b, r, 3)),
+                rng.uniform(-np.pi, np.pi, (b, r, 1)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        gt = np.concatenate(
+            [
+                rng.uniform(-8, 8, (b, 2, 2)),
+                rng.uniform(-1, 1, (b, 2, 1)),
+                rng.uniform(2, 6, (b, 2, 3)),
+                rng.uniform(-np.pi, np.pi, (b, 2, 1)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        tgts = jax.vmap(
+            lambda ro, g: proposal_target_layer(
+                ro, jnp.ones((r,), bool), g, jnp.ones((2,), bool), cfg,
+                jax.random.PRNGKey(0),
+            )
+        )(jnp.asarray(rois), jnp.asarray(gt))
+        batch = {
+            "roi_pts": rng.randn(b, r, p, 3 + f).astype(np.float32),
+            "counts": np.full((b, r), p, np.int32),
+            "rois": rois,
+            "gt": gt,
+            "tgts": jax.tree_util.tree_map(np.asarray, tgts),
+        }
+        model = PointRCNN_RCNN(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["roi_pts"][0]),
+            jnp.asarray(batch["counts"][0]),
+        )
+
+        def loss_fn(pp, bt):
+            def one(rp, cn, ro, tg, g):
+                out = model.apply(pp, rp, cn)
+                loss, _ = rcnn_loss(out, ro, tg, g, cfg)
+                return loss
+
+            return jnp.mean(jax.vmap(one)(
+                bt["roi_pts"], bt["counts"], bt["rois"], bt["tgts"],
+                bt["gt"],
+            ))
+
+        tx = optax.sgd(0.1)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        ref = optax.apply_updates(params, upd)
+
+        mesh = make_mesh(8)
+        step = make_train_step_dp(loss_fn, tx, mesh)
+        dp_params = replicate(mesh, params)
+        opt_state = replicate(mesh, tx.init(params))
+        got, _, dp_loss = step(dp_params, opt_state, shard_batch(mesh, batch))
+
+        np.testing.assert_allclose(float(dp_loss), float(loss), rtol=1e-5)
+        for rr, gg in zip(jax.tree_util.tree_leaves(ref),
+                          jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(rr), rtol=1e-4, atol=1e-5
+            )
+
 
 class TestPointShardedRaster:
     def test_matches_single_device(self):

@@ -338,3 +338,60 @@ class TestJointNet:
             params, opt, l = step(params, opt)
             losses.append(float(l))
         assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
+
+
+class TestSharedMLPBatchFold:
+    """norm="batch" (the reference's BatchNorm1d in pytorch_utils.SharedMLP)
+    trains with mutable running stats and folds EXACTLY into the
+    norm="folded" deployment structure — making "folded" reachable from a
+    trained checkpoint (ADVICE r4 medium: LayerNorm cannot fold)."""
+
+    def test_batch_fold_exact(self):
+        from lyft3d_tpu.models.fold_bn import fold_batch_norms
+        from lyft3d_tpu.models.pointrcnn.modules import SharedMLP
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(64, 16).astype(np.float32)
+        )
+        m_b = SharedMLP([32, 24], norm="batch")
+        variables = jax.tree_util.tree_map(
+            np.asarray, m_b.init(jax.random.PRNGKey(0), x)
+        )
+        assert "batch_stats" in variables
+
+        # Train-mode apply (mutable stats) updates the running averages.
+        _, new_state = m_b.apply(variables, x, mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(new_state["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(after, before)
+        )
+
+        # Non-trivial stats so the fold is actually exercised.
+        rng = np.random.RandomState(1)
+
+        def perturb(node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    perturb(v)
+                elif k == "mean":
+                    node[k] = rng.normal(0.1, 0.5, v.shape).astype(np.float32)
+                elif k == "var":
+                    node[k] = rng.uniform(0.5, 2.0, v.shape).astype(np.float32)
+
+        perturb(variables["batch_stats"])
+        ref = m_b.apply(variables, x)
+
+        m_f = SharedMLP([32, 24], norm="folded")
+        folded = fold_batch_norms(variables)
+        init_f = m_f.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, folded)
+        ) == jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.shape, init_f)
+        )
+        out = m_f.apply(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )

@@ -71,6 +71,31 @@ class TestKnnFused:
         )
 
 
+    def test_fewer_valid_than_k(self, cloud):
+        """Rows with < k valid neighbors must emit MISSES (d2 ~ 1e10), not
+        silently return lane 0 — otherwise three_interpolate gives a
+        padding point full inverse-distance weight (ADVICE r4 low)."""
+        pts, _ = cloud
+        valid2 = jnp.zeros((pts.shape[0],), bool).at[jnp.array([7, 191])].set(
+            True
+        )
+        unknown = pts[:20]
+        ref_d, ref_idx = p2.three_nn(unknown, pts, valid2)
+        d, idx = knn_fused(unknown, pts, valid2, k=3, interpret=True)
+        # Two real neighbors; the third slot is a miss in both paths.
+        np.testing.assert_array_equal(np.asarray(idx[:, :2]),
+                                      np.asarray(ref_idx[:, :2]))
+        assert (np.asarray(d[:, 2]) > 1e4).all()
+        # Interpolated features must agree (the miss gets ~zero weight).
+        feats = jnp.asarray(
+            np.random.RandomState(3).randn(pts.shape[0], 4).astype(np.float32)
+        )
+        out_k = p2.three_interpolate(feats, idx, d)
+        out_r = p2.three_interpolate(feats, ref_idx, ref_d)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestRoiSelectFused:
     def test_matches_roi_pool3d_selection(self, cloud):
         pts, valid = cloud
