@@ -1124,31 +1124,36 @@ def units_from_voxels(features, active: ActiveSet, z_slab: int,
     final_ids, final_valid, out_pos = _insert_ghosts(
         unit_ids, unit_valid, first_occ, last_occ, ncs, bigu, unit_cap
     )
-    # Placement by ONE DIRECT ROW SCATTER into the final ghost-merged
-    # layout: each sorted voxel row lands in exactly one (output unit
-    # row, local z) cell. Writes only the V occupied rows; the earlier
-    # pipeline materialized an intermediate (V, z_slab, C) expansion by
-    # row gather and re-gathered it through a src map — two passes
-    # through XLA:TPU's serial row-gather path, ~50 of units_from_voxels'
-    # 53 ms at FHD batch-4. (The original per-unit window formulation —
-    # vmap(dynamic_slice) + one-hot einsum — cost ~995 ms here,
+    # Placement into the final ghost-merged layout: each sorted voxel row
+    # lands in exactly one (output unit row, local z) cell, and ``dest``
+    # is ASCENDING-UNIQUE over the valid prefix (out_pos increases with
+    # unit rank, local z increases within a unit) with invalid rows at
+    # the tail — exactly ``fill_rows_by_id``'s presorted contract. On TPU
+    # that routes through the Pallas tile-one-hot fill (the row scatter
+    # measured 11.5 ms at the 60k-row/600k-canvas batch-4 shape — XLA's
+    # serial per-row path — vs one-hot matmul tiles); an appended
+    # ones-channel yields the occupancy mask from the same fill, deleting
+    # the separate mask scatter. (The earlier pipeline materialized an
+    # intermediate (V, z_slab, C) expansion by row gather and re-gathered
+    # it through a src map — ~50 ms; the original per-unit window
+    # formulation — vmap(dynamic_slice) + one-hot einsum — cost ~995 ms,
     # scripts/profile_ufv_parts.py.)
+    from lyft3d_tpu.ops.dense_fill import fill_rows_by_id
+
     row = out_pos[jnp.minimum(urank, v - 1)]
-    dest = jnp.where(
-        valid_s & (row < unit_cap), row * z_slab + zl_s,
-        jnp.int32(unit_cap * z_slab),
+    place_ok = valid_s & (row < unit_cap)
+    dest = jnp.where(place_ok, row * z_slab + zl_s,
+                     jnp.int32(unit_cap * z_slab))
+    f_aug = jnp.concatenate(
+        [f_s, jnp.ones((v, 1), f_s.dtype)], axis=-1
     )
-    f_out = (
-        jnp.zeros((unit_cap * z_slab, c), f_s.dtype)
-        .at[dest].set(f_s, mode="drop", unique_indices=True)
-        .reshape(unit_cap, z_slab, c)
-    )
-    m_out = (
-        jnp.zeros((unit_cap * z_slab,), jnp.int32)
-        .at[dest].set(1, mode="drop", unique_indices=True)
-        .astype(bool)
-        .reshape(unit_cap, z_slab)
-    )
+    canvas = unit_cap * z_slab
+    method = ("pallas" if jax.default_backend() == "tpu"
+              and canvas <= 2 ** 20 else "scatter")
+    filled = fill_rows_by_id(f_aug, dest, place_ok, canvas,
+                             assume_sorted=True, method=method)
+    f_out = filled[:, :c].reshape(unit_cap, z_slab, c)
+    m_out = (filled[:, c] > 0).reshape(unit_cap, z_slab)
     cols = ColumnSet(col_ids=final_ids, valid=final_valid, mask=m_out,
                      bev_shape=(nx * ncs, ny), nz=z_slab)
     return cols, f_out
@@ -1409,23 +1414,29 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
     d_period = jnp.maximum(total // den, 2)
     kept = jnp.where(overflow, seg % d_period != d_period - 1, True)
     slot = jnp.where(overflow, seg - (seg + 1) // d_period, seg)
-    dest_p = jnp.where(tail & kept & (slot < p_cap), slot, p_cap)
-    # TWO scalar scatters, NOT one (n4, 2)-row scatter: row scatters run
-    # XLA:TPU's serial per-row path (55 ms at this length vs 7 ms per
-    # scalar scatter, measured v5e-1).
-    par = jnp.full((p_cap,), obig, jnp.int32).at[dest_p].set(
-        cand, mode="drop", unique_indices=True
-    )
-    pfl = jnp.zeros((p_cap,), jnp.int32).at[dest_p].set(
-        flag_or, mode="drop", unique_indices=True
-    )
-    pfl = jnp.where(par < obig, pfl, 0)
+    # Parents + flags compact through ONE packed single-array SORT, not
+    # scatters: kept tails keep their packed (id·4 | flags) key, everything
+    # else sinks at obig·4, and the compacted list is a STATIC slice of the
+    # sorted result (slot order == id order — both ascend). The r4
+    # formulation scattered (cand, flag_or) through two n4-length scalar
+    # scatters — 2x7.2 ms at the 300k stage-0 shape (scalar scatters run
+    # ~25 µs/1k updates on XLA:TPU, measured v5e-1 batch 4) vs 3.8 ms for
+    # the 300k single-array sort.
+    keep_row = tail & kept & (slot < p_cap)
+    packed = jax.lax.sort(
+        jnp.where(keep_row, cand * 4 + flag_or, obig * 4)
+    )[:p_cap]
+    par = packed // 4
+    pfl = jnp.where(par < obig, packed - par * 4, 0)
     pvalid = par < obig
     need_hi = (pfl >= 2) & pvalid
     need_lo = (pfl % 2 > 0) & pvalid
-    n4 = p_cap  # ghost expansion below runs at the compacted length
-    # Positional 1-3-entry expansion ([id−1,] id [, id+1]) with the
-    # _insert_ghosts dedup rules; par is sorted unique ascending.
+    # Ghost expansion ([id−1,] id [, id+1] with the _insert_ghosts dedup
+    # rules) by CONCAT + single-array sort — replaces three p_cap-length
+    # ghost-placement scatters (3x~5.4 ms at the 225k stage-0 compacted
+    # length) with one 3·p_cap sort (~9.3 ms at 675k); entries are unique
+    # by the emit rules, so the sorted prefix is ascending-unique as
+    # _even_select requires.
     prev_ids = jnp.concatenate([jnp.full((1,), obig, jnp.int32), par[:-1]])
     next_ids = jnp.concatenate([par[1:], jnp.full((1,), obig, jnp.int32)])
     prev_hi = jnp.concatenate([jnp.zeros((1,), bool), need_hi[:-1]])
@@ -1433,22 +1444,20 @@ def downsample_units(cols: ColumnSet, ncs: int, max_out: int):
         (prev_ids == par - 1) | ((prev_ids == par - 2) & prev_hi)
     )
     emit_hi = need_hi & ~(next_ids == par + 1)
-    cnt = jnp.where(pvalid,
-                    1 + emit_lo.astype(jnp.int32) + emit_hi.astype(jnp.int32),
-                    0)
-    pos = jnp.cumsum(cnt) - cnt
-    total2 = pos[-1] + cnt[-1]
-    buf_len = max(3 * n4, max_out)
-    park = jnp.int32(buf_len)
-    buf = (
-        jnp.full((buf_len,), obig, jnp.int32)
-        .at[jnp.where(pvalid, pos + emit_lo, park)]
-        .set(par, mode="drop", unique_indices=True)
-        .at[jnp.where(emit_lo, pos, park)]
-        .set(par - 1, mode="drop", unique_indices=True)
-        .at[jnp.where(emit_hi, pos + 1 + emit_lo, park)]
-        .set(par + 1, mode="drop", unique_indices=True)
+    total2 = (
+        jnp.sum(pvalid.astype(jnp.int32))
+        + jnp.sum(emit_lo.astype(jnp.int32))
+        + jnp.sum(emit_hi.astype(jnp.int32))
     )
+    buf = jax.lax.sort(jnp.concatenate([
+        jnp.where(pvalid, par, obig),
+        jnp.where(emit_lo, par - 1, obig),
+        jnp.where(emit_hi, par + 1, obig),
+    ]))
+    if buf.shape[0] < max_out:  # tiny configs: _even_select needs len>=cap
+        buf = jnp.concatenate([
+            buf, jnp.full((max_out - buf.shape[0],), obig, jnp.int32)
+        ])
     # Cap overflow: evenly-spread survivors (see _even_select), not the
     # lowest-id prefix.
     out_ids = buf[_even_select(buf, total2, max_out)]

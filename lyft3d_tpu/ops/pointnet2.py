@@ -42,7 +42,25 @@ _BIG = 1e10
 # Approximation is safe here: a missed in-radius neighbor only swaps
 # which member pads the group before max-pooling, and the sentinel/empty
 # handling below is unchanged. Small (test) shapes stay exact.
-_APPROX_MIN_N = 512
+# Env override LYFT3D_APPROX_MIN_N (e.g. 10**9 forces the exact path
+# everywhere — used by the exact-vs-approx accuracy A/B).
+import os as _os
+
+_APPROX_MIN_N = int(_os.environ.get("LYFT3D_APPROX_MIN_N", 512))
+
+# Lane-interleave pitch for the approx path. approx_min_k's recall
+# guarantee assumes the true top-k spread ~uniformly across lanes, but
+# our keys are POINT INDICES and the in-radius neighbors of a center are
+# index-CLUSTERED in scan-/sort-ordered clouds — a cluster lands in one
+# PartialReduce bin and all but ~one member are lost (measured on v5e-1
+# at the (4096, 16384) k=32 stage-0 shape with sorted points: mean
+# recall 0.27 un-interleaved). Re-laying the keys as a
+# (n/g, g) -> (g, n/g) transpose (a layout op — NOT a serial gather)
+# spreads consecutive indices g·... lanes apart while the key VALUES
+# stay original indices, so the selected set is still the first-k by
+# index, restoring the uniform-spread assumption (same shape: recall
+# 1.000 interleaved; see scripts/measure_approx_recall.py).
+_INTERLEAVE_G = 128
 
 
 def _use_approx(n: int) -> bool:
@@ -183,7 +201,19 @@ def _first_k_true(mask, k: int):
     if _use_approx(n):
         keyf = jnp.where(mask, jnp.arange(n, dtype=jnp.float32),
                          jnp.float32(n))
-        outf, _ = jax.lax.approx_min_k(keyf, kk)
+        # Interleave the LANE LAYOUT (transpose, not gather) so
+        # index-clustered true top-k spread across the PartialReduce
+        # bins; values stay original indices (see _INTERLEAVE_G note).
+        g = _INTERLEAVE_G
+        pad = (-n) % g
+        if pad:
+            keyf = jnp.concatenate(
+                [keyf, jnp.full(keyf.shape[:-1] + (pad,), float(n),
+                                jnp.float32)], axis=-1)
+        npad = n + pad
+        keyt = keyf.reshape(keyf.shape[:-1] + (npad // g, g))
+        keyt = jnp.swapaxes(keyt, -1, -2).reshape(keyf.shape[:-1] + (npad,))
+        outf, _ = jax.lax.approx_min_k(keyt, kk)
         out = outf.astype(jnp.int32)
     else:
         key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))

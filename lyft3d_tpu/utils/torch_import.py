@@ -29,6 +29,15 @@ Supported torch layouts:
   (1x1 convs), ``downsample.{0,1}``.
 - ResNet (torchvision layout): ``conv1/bn1``,
   ``layer{1..4}.{i}.conv{1,2[,3]}/bn{1,2[,3]}``, ``downsample.{0,1}``.
+- EfficientNet (efficientnet-pytorch layout — what the reference's
+  ``modelzoo/efficientNet.py`` is): ``_conv_stem/_bn0``,
+  ``_blocks.{i}._expand_conv/_bn0, _depthwise_conv/_bn1,
+  _se_reduce/_se_expand, _project_conv/_bn2``.
+
+NOT supported: dpn (the flax trunk is a generic dual-path capability
+re-implementation whose widths differ from Cadene dpn68 — nearly every
+tensor would shape-skip), and the compacted xception/inception trunks
+(structurally impossible; see docs/PARITY.md).
 
 Classifier heads (``last_linear`` / ``fc``) are dropped — the detector
 heads are task-specific.
@@ -242,6 +251,61 @@ def resnet_params_from_torch(
     return tree
 
 
+def efficientnet_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    variant: str = "b0",
+    in_channels: int = 6,
+    norm_type: str = "group",
+) -> Dict[str, Any]:
+    """Map an efficientnet-pytorch state_dict onto the ``EfficientNet``
+    flax subtree.
+
+    The reference's ``modelzoo/efficientNet.py`` IS this layout
+    (``_conv_stem``/``_bn0``, ``_blocks.{i}._expand_conv/_depthwise_conv/
+    _project_conv`` + ``_bn0/1/2`` + ``_se_reduce/_se_expand``), and the
+    flax ``EfficientNet`` flattens its MBConv blocks in the same compound-
+    scaled order, so the mapping is 1:1 per block."""
+    from lyft3d_tpu.models.backbones.efficientnet import (
+        _BASE_BLOCKS,
+        _SCALING,
+        _round_repeats,
+    )
+
+    cna = lambda *a, **kw: _conv_norm_act(sd, *a, norm_type=norm_type, **kw)
+    tree: Dict[str, Any] = {
+        "ConvNormAct_0": cna("_conv_stem", "_bn0", in_channels)
+    }
+    _, dm = _SCALING[variant]
+    bi = 0
+    for expand, _ch, reps, _stride, _k in _BASE_BLOCKS:
+        for _ in range(_round_repeats(reps, dm)):
+            p = f"_blocks.{bi}"
+            if p + "._depthwise_conv.weight" not in sd:
+                bi += 1  # shallower checkpoint: keep flax init
+                continue
+            blk: Dict[str, Any] = {}
+            ci = 0
+            if expand != 1:
+                blk[f"ConvNormAct_{ci}"] = cna(p + "._expand_conv",
+                                               p + "._bn0")
+                ci += 1
+            blk[f"ConvNormAct_{ci}"] = cna(p + "._depthwise_conv",
+                                           p + "._bn1")
+            ci += 1
+            blk["Dense_0"] = {
+                "kernel": dense_kernel(sd[p + "._se_reduce.weight"]),
+                "bias": sd[p + "._se_reduce.bias"],
+            }
+            blk["Dense_1"] = {
+                "kernel": dense_kernel(sd[p + "._se_expand.weight"]),
+                "bias": sd[p + "._se_expand.bias"],
+            }
+            blk[f"ConvNormAct_{ci}"] = cna(p + "._project_conv", p + "._bn2")
+            tree[f"MBConv_{bi}"] = blk
+            bi += 1
+    return tree
+
+
 _BACKBONE_SPECS = {
     "seresnext26": ("SEResNeXt_0", seresnext_params_from_torch, {"stage_sizes": (2, 2, 2, 2)}),
     "seresnext50": ("SEResNeXt_0", seresnext_params_from_torch, {"stage_sizes": (3, 4, 6, 3)}),
@@ -253,6 +317,12 @@ _BACKBONE_SPECS = {
         resnet_params_from_torch,
         {"stage_sizes": (3, 4, 6, 3), "bottleneck": True},
     ),
+    **{
+        f"efficientnet_{v}": (
+            "EfficientNet_0", efficientnet_params_from_torch, {"variant": v},
+        )
+        for v in ("b0", "b1", "b2", "b3", "b4", "b5")
+    },
 }
 
 

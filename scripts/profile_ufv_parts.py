@@ -121,29 +121,45 @@ def prefix(stage: int):
         )
         if stage == 2:
             return (unit_ids,)
-        unit_starts = jnp.full((v,), v, jnp.int32).at[target].set(
-            arange_v, mode="drop", unique_indices=True
+        # Boundary-occupancy bits (current ID-ONLY formulation).
+        tail = jnp.concatenate(
+            [uid_s[1:] != uid_s[:-1], jnp.ones((1,), bool)]
+        ) & valid_s
+        target_t = jnp.where(tail, urank, v)
+        first_occ = jnp.zeros((v,), bool).at[target].set(
+            zl_s == 0, mode="drop", unique_indices=True
+        )
+        last_occ = jnp.zeros((v,), bool).at[target_t].set(
+            zl_s == ZS - 1, mode="drop", unique_indices=True
         )
         if stage == 3:
-            return unit_ids, unit_starts
+            return unit_ids, first_occ, last_occ
         unit_valid = unit_ids < bigu
-        # Inverse-permutation placement (current formulation): one scalar
-        # scatter builds inv[dest] = row, one full-row gather fetches.
-        urank_c = jnp.minimum(urank, v - 1)
-        dest = jnp.where(valid_s, urank_c * ZS + zl_s, jnp.int32(v * ZS))
-        inv = jnp.full((v * ZS,), v, jnp.int32).at[dest].set(
-            arange_v, mode="drop", unique_indices=True
+        final_ids, final_valid, out_pos = cs._insert_ghosts(
+            unit_ids, unit_valid, first_occ, last_occ, NCS, bigu, unit_cap
         )
         if stage == 4:
-            return (inv,)
-        f_pad = jnp.concatenate([f_s, jnp.zeros((1, C), f_s.dtype)])
-        colf = f_pad[inv].reshape(v, ZS, C)
-        mask = (inv < v).reshape(v, ZS)
+            return final_ids, out_pos
+        # Direct row scatter into the final ghost-merged layout.
+        row = out_pos[jnp.minimum(urank, v - 1)]
+        dest = jnp.where(
+            valid_s & (row < unit_cap), row * ZS + zl_s,
+            jnp.int32(unit_cap * ZS),
+        )
+        f_out = (
+            jnp.zeros((unit_cap * ZS, C), f_s.dtype)
+            .at[dest].set(f_s, mode="drop", unique_indices=True)
+            .reshape(unit_cap, ZS, C)
+        )
         if stage == 5:
-            return colf, mask
-        out = cs._insert_ghosts(unit_ids, unit_valid, mask, colf, NCS,
-                                bigu, unit_cap)
-        return out
+            return (f_out,)
+        m_out = (
+            jnp.zeros((unit_cap * ZS,), jnp.int32)
+            .at[dest].set(1, mode="drop", unique_indices=True)
+            .astype(bool)
+            .reshape(unit_cap, ZS)
+        )
+        return f_out, m_out, final_ids, final_valid
 
     return lambda f, a: jax.vmap(
         lambda ff, cc, vv: one(ff, cc, vv)
@@ -158,10 +174,10 @@ def main():
         "0 key/uid arithmetic",
         "1 head+cumsum",
         "2 scatter unit_ids",
-        "3 scatter unit_starts",
-        "4 scatter inv permutation",
-        "5 row gather + reshape",
-        "6 _insert_ghosts (full ufv)",
+        "3 scatter occ bits (x2)",
+        "4 _insert_ghosts (id-only)",
+        "5 direct feature row scatter",
+        "6 mask scatter (full ufv)",
     ]
     prev = 0.0
     for s, n in enumerate(names):

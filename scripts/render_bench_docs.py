@@ -51,15 +51,34 @@ def render_block(d: dict, artifact_name: str) -> str:
 
     cpu = d.get("cpu_baseline_sweeps_per_sec")
     flag = d["headline_value"]
-    r50 = d.get("tpu_optimal_variant_unet_resnet50_sweeps_per_sec")
+    b = d.get("batch", "?")
+    if "reference_parity_unet_seresnext101_sweeps_per_sec" in d:
+        # r5+ artifacts: flagship = TPU-optimal resnet50 (re-baselined,
+        # ROADMAP ceiling note); seresnext101 = reference-parity row.
+        second = d["reference_parity_unet_seresnext101_sweeps_per_sec"]
+        head_rows = [
+            (f"flagship resnet50-UNet BEV e2e (TPU-optimal, batch {b}, "
+             "folded-BN)",
+             f"**{_fmt(flag)} sweeps/s**", pct("flagship_resnet50"),
+             f"{flag / cpu:.0f}×" if cpu else "—"),
+            ("seresnext101-UNet (reference-parity model), same pipeline",
+             f"**{_fmt(second)} sweeps/s**",
+             pct("reference_parity_seresnext101"),
+             f"{second / cpu:.0f}×" if (second and cpu) else "—"),
+        ]
+    else:
+        # r<=4 artifacts: flagship = seresnext101.
+        second = d.get("tpu_optimal_variant_unet_resnet50_sweeps_per_sec")
+        head_rows = [
+            (f"flagship seresnext101-UNet BEV e2e (batch {b}, folded-BN)",
+             f"**{_fmt(flag)} sweeps/s**", pct("flagship_seresnext101"),
+             f"{flag / cpu:.0f}×" if cpu else "—"),
+            ("resnet50-UNet (TPU-optimal dense variant), same pipeline",
+             f"**{_fmt(second)} sweeps/s**", "—",
+             f"{second / cpu:.0f}×" if (second and cpu) else "—"),
+        ]
     rows = [
-        ("flagship seresnext101-UNet BEV e2e (batch "
-         f"{d.get('batch', '?')}, folded-BN)",
-         f"**{_fmt(flag)} sweeps/s**", pct("flagship_seresnext101"),
-         f"{flag / cpu:.0f}×" if cpu else "—"),
-        ("resnet50-UNet (TPU-optimal dense variant), same pipeline",
-         f"**{_fmt(r50)} sweeps/s**", "—",
-         f"{r50 / cpu:.0f}×" if (r50 and cpu) else "—"),
+        *head_rows,
         ("SECOND pillars e2e "
          f"({d.get('voxelnet_points_per_sample', 0) // 1000}k pts, Lyft "
          "9-class)",

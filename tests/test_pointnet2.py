@@ -155,3 +155,32 @@ class TestRoIPool3D:
         _, count, _ = roi_pool3d(jnp.array(pts), jnp.array(feats),
                                  jnp.ones(2, bool), boxes, num_sampled=4)
         assert int(count[0]) == 1
+
+
+class TestApproxBranchPlumbing:
+    """The approx_min_k branch's lane-interleave must preserve first-k
+    SEMANTICS: key values stay original indices, so on a backend where
+    approx_min_k is exact (CPU) the branch must equal the exact path
+    bit-for-bit — pinning the value mapping of the (n/g, g) transpose
+    (ADVICE r4: no test exercised this branch). TPU recall is measured
+    by scripts/measure_approx_recall.py (numbers in ROADMAP)."""
+
+    def test_interleaved_branch_matches_exact(self, monkeypatch):
+        from lyft3d_tpu.ops import pointnet2 as p2
+
+        monkeypatch.setattr(p2, "_use_approx", lambda n: n >= 512)
+        rng = np.random.RandomState(0)
+        n, s, k = 600, 40, 8  # n NOT a multiple of the interleave pitch
+        pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+        pts = pts[np.argsort(pts[:, 0])]  # index-clustered neighborhoods
+        valid = rng.rand(n) < 0.9
+        centers = jnp.asarray(pts[:s])
+        idx_a, cnt_a = p2.ball_query(
+            centers, jnp.asarray(pts), jnp.asarray(valid), 3.0, k
+        )
+        monkeypatch.setattr(p2, "_use_approx", lambda n: False)
+        idx_e, cnt_e = p2.ball_query(
+            centers, jnp.asarray(pts), jnp.asarray(valid), 3.0, k
+        )
+        np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_e))
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_e))

@@ -238,3 +238,101 @@ def test_cli_import_weights(tmp_path):
     assert (out / "unet_seresnext26-0.ckpt").exists()
 
 pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject)
+
+
+def _torch_efficientnet(variant="b1", in_ch=3):
+    """efficientnet-pytorch-shaped torch model (the reference's
+    modelzoo/efficientNet.py layout: _conv_stem/_bn0 + _blocks.{i} with
+    _expand_conv/_bn0, _depthwise_conv/_bn1, _se_reduce/_se_expand,
+    _project_conv/_bn2)."""
+    import torch.nn as nn
+
+    from lyft3d_tpu.models.backbones.efficientnet import (
+        _BASE_BLOCKS,
+        _SCALING,
+        _round_filters,
+        _round_repeats,
+    )
+
+    wm, dm = _SCALING[variant]
+
+    class MB(nn.Module):
+        def __init__(self, cin, cout, expand, k):
+            super().__init__()
+            mid = cin * expand
+            if expand != 1:
+                self._expand_conv = nn.Conv2d(cin, mid, 1, bias=False)
+                self._bn0 = nn.BatchNorm2d(mid)
+            self._depthwise_conv = nn.Conv2d(
+                mid, mid, k, 1, k // 2, groups=mid, bias=False
+            )
+            self._bn1 = nn.BatchNorm2d(mid)
+            se = max(1, cin // 4)
+            self._se_reduce = nn.Conv2d(mid, se, 1)
+            self._se_expand = nn.Conv2d(se, mid, 1)
+            self._project_conv = nn.Conv2d(mid, cout, 1, bias=False)
+            self._bn2 = nn.BatchNorm2d(cout)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem = _round_filters(32, wm)
+            self._conv_stem = nn.Conv2d(in_ch, stem, 3, 2, 1, bias=False)
+            self._bn0 = nn.BatchNorm2d(stem)
+            blocks, cin = [], stem
+            for expand, ch, reps, _stride, k in _BASE_BLOCKS:
+                f = _round_filters(ch, wm)
+                for _ in range(_round_repeats(reps, dm)):
+                    blocks.append(MB(cin, f, expand, k))
+                    cin = f
+            self._blocks = nn.ModuleList(blocks)
+
+    net = Net()
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0.1, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    return net
+
+
+def test_efficientnet_b1_full_import_into_unet():
+    """The efficientnet-pytorch layout (the reference's efficientNet.py /
+    hub checkpoints) imports 1:1 into the flax EfficientNet trunk."""
+    from lyft3d_tpu.models import build_model
+
+    net = _torch_efficientnet("b1", in_ch=3)
+    sd = normalize_state_dict(net.state_dict())
+    model = build_model("unet_efficientnet_b1", n_classes=10)
+    x = jnp.zeros((1, 64, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    new_params = load_pretrained_backbone(
+        params, sd, "efficientnet_b1", in_channels=6
+    )
+
+    old_shapes = jax.tree_util.tree_map(np.shape, params)
+    new_shapes = jax.tree_util.tree_map(np.shape, new_params)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, old_shapes, new_shapes)
+    )
+
+    bb = new_params["params"]["EfficientNet_0"]
+    stem = bb["ConvNormAct_0"]["Conv_0"]["kernel"]
+    expect = inflate_input_channels(
+        conv_kernel(net._conv_stem.weight.detach().numpy()), 6
+    )
+    np.testing.assert_allclose(np.asarray(stem), expect, atol=1e-6)
+
+    # A depthwise kernel deep in the net matches (block 3 expands 6x).
+    got = np.asarray(bb["MBConv_3"]["ConvNormAct_1"]["Conv_0"]["kernel"])
+    ref = conv_kernel(net._blocks[3]._depthwise_conv.weight.detach().numpy())
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # SE gate weights land in the Dense pair.
+    got_se = np.asarray(bb["MBConv_3"]["Dense_0"]["kernel"])
+    ref_se = dense_kernel(net._blocks[3]._se_reduce.weight.detach().numpy())
+    np.testing.assert_allclose(got_se, ref_se, atol=1e-6)
+
+    logits, aux = model.apply(new_params, x)
+    assert logits.shape == (1, 64, 64, 10)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
