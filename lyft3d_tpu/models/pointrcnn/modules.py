@@ -80,6 +80,12 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     dtype: Any = jnp.float32
     norm: str = "layer"
+    # Grid-bucketed neighbor search (O(S·9·cap) instead of the (S, N)
+    # distance matrix) when static plane bounds are configured and the
+    # source cloud is large enough to pay for the bucket build.
+    grid_bounds: Any = None
+    grid_plane: Any = (0, 2)
+    grid_min_n: int = 2048
 
     @nn.compact
     def __call__(self, xyz, features, valid):
@@ -93,10 +99,19 @@ class SAModuleMSG(nn.Module):
         # the MLP would cast right after anyway. Geometry stays f32.
         feats_c = features.astype(self.dtype) if features is not None else None
         outs = []
-        # One shared (S, N) distance matrix serves every radius.
-        queries = multi_radius_ball_query(
-            new_xyz, xyz, valid, self.radii, self.nsamples
-        )
+        if self.grid_bounds is not None and xyz.shape[0] >= self.grid_min_n:
+            from lyft3d_tpu.ops.pointnet2 import grid_multi_radius_ball_query
+
+            queries = grid_multi_radius_ball_query(
+                new_xyz, xyz, valid, self.radii, self.nsamples,
+                bounds=tuple(map(tuple, self.grid_bounds)),
+                plane=tuple(self.grid_plane),
+            )
+        else:
+            # One shared (S, N) distance matrix serves every radius.
+            queries = multi_radius_ball_query(
+                new_xyz, xyz, valid, self.radii, self.nsamples
+            )
         for (idx, count), nsample, mlp in zip(queries, self.nsamples, self.mlps):
             grouped_xyz = (group_points(xyz, idx) - new_xyz[:, None, :]).astype(
                 self.dtype

@@ -84,6 +84,12 @@ class PointRCNNConfig:
     roi_fg_aug_times: int = 10
     # final NMS over REFINED boxes at eval (eval_rcnn.py joint mode)
     final_nms_iou: float = 0.1
+    # Grid-bucketed ball query for the SA stages (None = dense (S, N)
+    # path): static ((lo_a, hi_a), (lo_b, hi_b)) extents of the two
+    # grid_plane axes (KITTI-rect clouds: plane (x, z)). See
+    # ops.pointnet2.grid_multi_radius_ball_query.
+    grid_bounds: Any = None
+    grid_plane: Tuple[int, int] = (0, 2)
 
 
 # Lyft 9-class mean sizes (w, l, h) — CLS_MEAN_SIZE,
@@ -149,6 +155,10 @@ def lyft_pointrcnn_config(
         rcnn_widths=(128, 256, 512),
         rcnn_sa_radii=(0.2, 0.4),
         rcnn_sa_nsamples=(64, 64),
+        # KITTI-rect extents of the converted Lyft clouds (x lateral,
+        # z forward) for the grid-bucketed SA neighbor search.
+        grid_bounds=((-64.0, 64.0), (-8.0, 120.0)),
+        grid_plane=(0, 2),
         fg_iou=0.55,
         bg_iou=0.45,
         rois_per_image=64,
@@ -176,6 +186,7 @@ class PointRCNNBackbone(nn.Module):
             x2, f2, v2 = SAModuleMSG(
                 npoint=npoint, radii=radii, nsamples=nsamples, mlps=mlps,
                 dtype=self.dtype, norm=self.norm,
+                grid_bounds=c.grid_bounds, grid_plane=c.grid_plane,
             )(x, f, v)
             stack.append((x2, f2, v2))
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -26,6 +27,7 @@ __all__ = [
     "fps_pallas",
     "ball_query",
     "multi_radius_ball_query",
+    "grid_multi_radius_ball_query",
     "group_points",
     "three_nn",
     "three_interpolate",
@@ -259,6 +261,124 @@ def multi_radius_ball_query(centers, points, valid, radii, nsamples):
     for radius, nsample in zip(radii, nsamples):
         mask = (d2 < radius * radius) & valid[None, :]
         out.append(_first_k_true(mask, nsample))
+    return out
+
+
+def grid_multi_radius_ball_query(centers, points, valid, radii, nsamples,
+                                 bounds, plane=(0, 2), cell_cap: int = 16,
+                                 max_grid: int = 256):
+    """Bucketed multi-radius ball query — O(S·9·cap) instead of O(S·N).
+
+    Points are binned into square cells of size max(radii) on the
+    ``plane`` axes (KITTI-rect clouds are flat in (x, z)); every true
+    neighbor within any radius then lies in the 3x3 cell neighborhood of
+    its center's cell. Per (stage, radius) the candidate set shrinks from
+    N (16384 at the Lyft stage-0 shape) to 9·cell_cap (144), and the
+    selection runs exact `top_k` over that short row with keys = ORIGINAL
+    point indices, so the result is the reference's first-k-by-index
+    contract (`ball_query_gpu.cu`) over the candidate set.
+
+    TPU-shaped: the bucket table is built by one (cell, rank) sort + four
+    scalar scatters, and candidates are fetched as (S·9) WIDE-ROW gathers
+    of (cap·4)-wide table rows — scalar gathers at S·9·cap scale would run
+    XLA:TPU's serial path (~45 µs/1k, measured), row gathers ~10x faster.
+
+    Approximation bound: a cell holding more than ``cell_cap`` points
+    drops the index-largest overflow (at Lyft densities: 16384 points
+    over ≥160² cells ≈ 0.6/cell mean — overflow needs a >25x local
+    hotspot). Dropped points are exactly the ones first-k-by-index would
+    have skipped anyway unless the cell has < nsample survivors.
+
+    Args:
+        bounds: ((lo_a, hi_a), (lo_b, hi_b)) static extents of the two
+            ``plane`` axes; out-of-bounds coords clip to edge cells
+            (convex hull ⇒ the 3x3 cover stays valid).
+        max_grid: cap on cells per axis (cell grows beyond max(radii) if
+            the span demands it — coverage is preserved since cell size
+            only ever grows).
+    Returns [(idx (S, k), count (S,)), ...] — the
+    :func:`multi_radius_ball_query` contract.
+    """
+    n = points.shape[0]
+    s = centers.shape[0]
+    a, b = plane
+    (lo_a, hi_a), (lo_b, hi_b) = bounds
+    cell = max(float(max(radii)),
+               max(hi_a - lo_a, hi_b - lo_b) / max_grid)
+    nga = max(int(np.ceil((hi_a - lo_a) / cell)), 1)
+    ngb = max(int(np.ceil((hi_b - lo_b) / cell)), 1)
+    ncells = nga * ngb
+
+    def cell_of(xy_a, xy_b):
+        ca = jnp.clip(jnp.floor((xy_a - lo_a) / cell).astype(jnp.int32),
+                      0, nga - 1)
+        cb = jnp.clip(jnp.floor((xy_b - lo_b) / cell).astype(jnp.int32),
+                      0, ngb - 1)
+        return ca, cb
+
+    pa, pb = cell_of(points[:, a], points[:, b])
+    pcell = jnp.where(valid, pb * nga + pa, jnp.int32(ncells))
+    scell, sidx = jax.lax.sort(
+        (pcell, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), scell[1:] != scell[:-1]]
+    ) & (scell < ncells)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    rank = pos - jax.lax.cummax(jnp.where(head, pos, -1))
+    dest = jnp.where(
+        (scell < ncells) & (rank < cell_cap), scell * cell_cap + rank,
+        jnp.int32(ncells * cell_cap),
+    )
+    spts = points[sidx]
+    # Four scalar scatters (x, y, z, idx-as-f32 — exact to 2^24 ≫ n);
+    # a (cap·4)-wide ROW scatter at n rows measured ~4x slower.
+    tx = [
+        jnp.full((ncells * cell_cap,),
+                 float(n) if ch == 3 else 0.0, jnp.float32)
+        .at[dest].set(v.astype(jnp.float32), mode="drop",
+                      unique_indices=True)
+        for ch, v in enumerate(
+            (spts[:, 0], spts[:, 1], spts[:, 2], sidx.astype(jnp.float32))
+        )
+    ]
+    table = jnp.stack(tx, axis=-1).reshape(ncells, cell_cap * 4)
+    table = jnp.concatenate(  # sentinel row for out-of-bounds neighbors
+        [table, jnp.tile(jnp.asarray([[0.0, 0.0, 0.0, float(n)]],
+                                     jnp.float32), (1, cell_cap))], axis=0
+    )
+
+    ca, cb = cell_of(centers[:, a], centers[:, b])
+    offs = jnp.asarray(
+        [(da, db) for db in (-1, 0, 1) for da in (-1, 0, 1)], jnp.int32
+    )
+    na = ca[:, None] + offs[None, :, 0]
+    nb = cb[:, None] + offs[None, :, 1]
+    okc = (na >= 0) & (na < nga) & (nb >= 0) & (nb < ngb)
+    cells9 = jnp.where(okc, nb * nga + na, ncells)  # (S, 9)
+    rows9 = table[cells9]  # (S, 9, cap*4) wide-row gather
+    cand = rows9.reshape(s, 9 * cell_cap, 4)
+    cxyz = cand[..., :3]
+    cidx = cand[..., 3]
+    d2 = jnp.sum((cxyz - centers[:, None, :]) ** 2, axis=-1)
+
+    out = []
+    for radius, nsample in zip(radii, nsamples):
+        mask = (d2 < radius * radius) & (cidx < n)
+        key = jnp.where(mask, cidx, jnp.float32(n))
+        kk = min(nsample, key.shape[-1])
+        neg, _ = jax.lax.top_k(-key, kk)
+        got = (-neg).astype(jnp.int32)
+        if kk < nsample:
+            got = jnp.concatenate(
+                [got, jnp.full((s, nsample - kk), n, jnp.int32)], axis=-1
+            )
+        count = jnp.minimum(jnp.sum(mask, axis=-1), nsample).astype(
+            jnp.int32)
+        first = got[..., :1]
+        got = jnp.where(got >= n, jnp.maximum(first, 0), got)
+        got = jnp.where(got >= n, 0, got)
+        out.append((got, count))
     return out
 
 

@@ -13,6 +13,7 @@ RCNN refinement learns real geometry on TPU.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -46,6 +47,14 @@ def main(steps: int = 200, out_dir: str = "/tmp/lyft3d_pointrcnn_demo"):
     kitti_root = export_kitti(db, out / "kitti")
 
     cfg = PointRCNNConfig(num_proposals=32, nms_pre=128)
+    if os.environ.get("LYFT3D_GRID_BQ"):
+        # A/B hook: run the SA stages through the grid-bucketed ball
+        # query (the production lyft config's default) on this demo too.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, grid_bounds=((-64.0, 64.0), (-8.0, 120.0))
+        )
     loader = KittiPointRCNNLoader(
         kitti_root, KittiLoaderConfig(num_points=4096)
     )

@@ -184,3 +184,60 @@ class TestApproxBranchPlumbing:
         )
         np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_e))
         np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_e))
+
+
+class TestGridBallQuery:
+    """grid_multi_radius_ball_query == multi_radius_ball_query when no
+    cell overflows (cap ample): the 3x3 neighbor cover at cell size
+    max(radii) sees every in-radius point, and selection is
+    first-k-by-index over those candidates — the exact contract."""
+
+    def _cloud(self, n=500, seed=0):
+        rng = np.random.RandomState(seed)
+        pts = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+        pts[:, 1] = rng.uniform(-2, 0, n)  # KITTI-rect-like: y = height
+        valid = rng.rand(n) < 0.9
+        return jnp.asarray(pts), jnp.asarray(valid)
+
+    def test_matches_exact(self):
+        from lyft3d_tpu.ops.pointnet2 import (
+            grid_multi_radius_ball_query,
+            multi_radius_ball_query,
+        )
+
+        pts, valid = self._cloud()
+        centers = pts[:64]
+        radii, ks = (1.5, 3.0), (8, 16)
+        ref = multi_radius_ball_query(centers, pts, valid, radii, ks)
+        got = grid_multi_radius_ball_query(
+            centers, pts, valid, radii, ks,
+            bounds=((-20.0, 20.0), (-20.0, 20.0)), plane=(0, 2),
+            cell_cap=64,
+        )
+        for (gi, gc), (ri, rc) in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+
+    def test_out_of_bounds_clipping(self):
+        """Centers/points beyond the static bounds clip into edge cells;
+        true neighbors must still be found (convex-hull argument)."""
+        from lyft3d_tpu.ops.pointnet2 import (
+            grid_multi_radius_ball_query,
+            multi_radius_ball_query,
+        )
+
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(-30, 30, (400, 3)).astype(np.float32)
+        valid = np.ones((400,), bool)
+        centers = jnp.asarray(pts[:32])
+        ref = multi_radius_ball_query(
+            centers, jnp.asarray(pts), jnp.asarray(valid), (2.0,), (8,)
+        )
+        got = grid_multi_radius_ball_query(
+            centers, jnp.asarray(pts), jnp.asarray(valid), (2.0,), (8,),
+            bounds=((-10.0, 10.0), (-10.0, 10.0)), plane=(0, 2),
+            cell_cap=400,
+        )
+        for (gi, gc), (ri, rc) in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
