@@ -107,10 +107,11 @@ class TestBEVTrainDriver:
         sec = load_yaml(
             SecondExperiment, "configs/second_lyft_9class_sparse.yaml"
         )
-        # The shipped config runs the BEV-column sparse middle (the faster
-        # formulation of the same SpMiddleFHD stack); "sparse" (per-voxel
-        # gather) remains a valid option.
-        assert sec.middle in ("sparse", "sparse_columns")
+        # The shipped config runs the z-slab UNIT sparse middle (the
+        # occupancy-proportional formulation of the same SpMiddleFHD
+        # stack, production since round 3); "sparse" (per-voxel gather,
+        # the oracle) and "sparse_columns" (dense-z) remain valid options.
+        assert sec.middle in ("sparse", "sparse_columns", "sparse_units")
         assert sec.encoder == "simple"
         vcfg = voxelnet_config_from_experiment(sec)
         # TRUE FHD geometry (all.fhd.config:4-13): 0.05 m voxels over
