@@ -253,14 +253,19 @@ def main() -> None:
     map_ch = jnp.asarray(rng.rand(BATCH, *cfg.shape[:2]).astype(np.float32))
 
     _progress("reference-parity seresnext101 e2e: timing")
-    dt = diff_timing(repeated, (params, points, valid, map_ch), ITERS)
-    sweeps_per_sec = BATCH * ITERS / dt
-    RESULT["detail"]["reference_parity_unet_seresnext101_sweeps_per_sec"] = (
-        round(sweeps_per_sec, 3)
-    )
-    RESULT["detail"]["mfu"]["reference_parity_seresnext101"] = mfu_entry(
-        jax.jit(e2e), (params, points, valid, map_ch), sweeps_per_sec, BATCH
-    )
+    sweeps_per_sec = None
+    try:
+        dt = diff_timing(repeated, (params, points, valid, map_ch), ITERS)
+        sweeps_per_sec = BATCH * ITERS / dt
+        RESULT["detail"][
+            "reference_parity_unet_seresnext101_sweeps_per_sec"
+        ] = round(sweeps_per_sec, 3)
+        RESULT["detail"]["mfu"]["reference_parity_seresnext101"] = mfu_entry(
+            jax.jit(e2e), (params, points, valid, map_ch), sweeps_per_sec,
+            BATCH,
+        )
+    except Exception as e:  # relay flake: keep going to the flagship
+        RESULT["detail"]["seresnext101_bench_error"] = repr(e)[:300]
     _progress("flagship resnet50 e2e (TPU-optimal)")
 
     # FLAGSHIP (re-baselined round 5): the reference's seresnext101 uses
@@ -300,18 +305,30 @@ def main() -> None:
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     repeated50 = jax.jit(repeated50)
-    dt50 = diff_timing(repeated50, (params50, points, valid, map_ch), ITERS)
-    sweeps50 = BATCH * ITERS / dt50
-    RESULT["value"] = round(sweeps50, 3)
-    if baseline == baseline:
-        RESULT["vs_baseline"] = round(sweeps50 / baseline, 2)
-    RESULT["detail"]["mfu"]["flagship_resnet50"] = mfu_entry(
-        jax.jit(e2e50), (params50, points, valid, map_ch), sweeps50, BATCH
-    )
-    # Legacy key kept so older tooling keeps resolving the resnet50 number.
-    RESULT["detail"]["tpu_optimal_variant_unet_resnet50_sweeps_per_sec"] = (
-        round(sweeps50, 3)
-    )
+    try:
+        dt50 = diff_timing(repeated50, (params50, points, valid, map_ch),
+                           ITERS)
+        sweeps50 = BATCH * ITERS / dt50
+        RESULT["value"] = round(sweeps50, 3)
+        if baseline == baseline:
+            RESULT["vs_baseline"] = round(sweeps50 / baseline, 2)
+        RESULT["detail"]["mfu"]["flagship_resnet50"] = mfu_entry(
+            jax.jit(e2e50), (params50, points, valid, map_ch), sweeps50,
+            BATCH,
+        )
+        # Legacy key so older tooling keeps resolving the resnet50 number.
+        RESULT["detail"][
+            "tpu_optimal_variant_unet_resnet50_sweeps_per_sec"
+        ] = round(sweeps50, 3)
+    except Exception as e:  # flagship section failed: fall back honestly
+        RESULT["detail"]["resnet50_bench_error"] = repr(e)[:300]
+        if sweeps_per_sec is not None:
+            RESULT["value"] = round(sweeps_per_sec, 3)
+            if baseline == baseline:
+                RESULT["vs_baseline"] = round(sweeps_per_sec / baseline, 2)
+            RESULT["detail"]["flagship_fallback"] = (
+                "seresnext101 (resnet50 flagship section failed)"
+            )
     _progress("voxelnet pillars e2e")
 
     # Release the BEV section's device buffers before the voxelnet section

@@ -155,10 +155,14 @@ def lyft_pointrcnn_config(
         rcnn_widths=(128, 256, 512),
         rcnn_sa_radii=(0.2, 0.4),
         rcnn_sa_nsamples=(64, 64),
-        # KITTI-rect extents of the converted Lyft clouds (x lateral,
-        # z forward) for the grid-bucketed SA neighbor search.
-        grid_bounds=((-64.0, 64.0), (-8.0, 120.0)),
-        grid_plane=(0, 2),
+        # Grid-bucketed SA neighbor search: measured EQUAL to the dense
+        # (S, N) + approx_min_k path at these capacities (v5e-1 batch 4:
+        # RPN fwd 92.3 vs 91.4 ms, joint 209.3 vs 210.7 —
+        # scripts/microbench_grid_bq.py), because the ball query is no
+        # longer the bottleneck after the round-4 selection work; the
+        # dense path stays default (exact, no cell_cap approximation).
+        # Enable per-experiment with e.g.
+        # grid_bounds=((-64.0, 64.0), (-8.0, 120.0)), grid_plane=(0, 2).
         fg_iou=0.55,
         bg_iou=0.45,
         rois_per_image=64,
