@@ -48,12 +48,26 @@ def main(steps: int = 1000, out_dir: str = "/tmp/lyft3d_second_demo",
     # scaled-down geometry — 3D voxels (nz 16), 1 pt/voxel, simple encoder —
     # exercising the fused stencil forward AND reverse-stencil backward in
     # a real learning loop.
+    import os
+
     middle_kw = dict(
         voxel_size=(0.8, 0.8, 0.5), max_voxels=8192, max_points_per_voxel=1,
-        encoder="simple", middle="sparse_units", middle_z_slab=8,
+        encoder="simple",
+        # Override hook for learning-curve root-causing: run the SAME
+        # demo through the per-voxel oracle ("sparse") or the dense-z
+        # column formulation ("sparse_columns").
+        middle=os.environ.get("LYFT3D_SPARSE_MIDDLE", "sparse_units"),
+        middle_z_slab=8,
         middle_features=(16, 32, 64),
         middle_max_voxels=(8192, 4096, 2048),
-        rpn_up_strides=(1, 2, 4),
+        # up0=8 puts the anchor grid at 0.8·8·2/8 = 1.6 m stride (40x72
+        # positions, 55 positive anchors on the first synthetic frame) —
+        # the same granularity class as the pillars demo. The earlier
+        # (1, 2, 4) left anchors at 6.4 m: ~10x17 positions, ~4 positive
+        # anchors per frame (vs 226 for pillars on the same scene), which
+        # is why the sparse learning curve stayed ~0 while its train loss
+        # fell normally — the detector had almost nothing it could match.
+        rpn_up_strides=(8, 16, 32),
     ) if sparse else dict(
         voxel_size=(0.4, 0.4, 8.0), max_voxels=8192, max_points_per_voxel=8,
         encoder="pillars",

@@ -337,3 +337,54 @@ class TestEvenSelect:
         # a truncated prefix would stop at the median.
         assert ids_cap.max() >= np.quantile(ids_full, 0.9)
         assert (np.diff(ids_cap) > 0).all()
+
+
+@pytest.mark.slow
+class TestFullMiddleGradients:
+    def test_full_middle_grads_match_column_middle(self):
+        """Gradients through the FULL SparseMiddleUnits stack (ufv +
+        subm + strided x2 stages + to-BEV, custom VJPs throughout) equal
+        the column-oracle middle's — the r5 root-cause session showed the
+        forward-only oracle test cannot catch a broken backward (a flat
+        learning curve was initially suspected to be one)."""
+        from lyft3d_tpu.models.second.middle import (
+            SparseMiddleColumns,
+            SparseMiddleUnits,
+        )
+        rng = np.random.RandomState(9)
+        shape = (16, 16, 8)
+        b, cap = 2, 96
+        acts, fs = [], []
+        for i in range(b):
+            acts.append(random_active(rng, shape, 70 + 5 * i, cap=cap))
+            fs.append(rng.randn(cap, 4).astype(np.float32))
+        act = stack_trees(acts)
+        f = jnp.asarray(np.stack(fs))
+        kw = dict(stage_features=(8, 16), stage_max_voxels=(512, 512),
+                  subm_per_stage=2, dtype=jnp.float32, method="ref")
+        m_c = SparseMiddleColumns(**kw)
+        m_u = SparseMiddleUnits(z_slab=4, **kw)
+        p_c = m_c.init(jax.random.PRNGKey(0), f, act)
+        td = jax.tree_util.tree_structure(
+            m_u.init(jax.random.PRNGKey(0), f, act)
+        )
+        p_u = jax.tree_util.tree_unflatten(
+            td, jax.tree_util.tree_leaves(p_c)
+        )
+        out_shape = jax.eval_shape(lambda: m_c.apply(p_c, f, act)[0]).shape
+        tgt = jnp.asarray(rng.randn(*out_shape).astype(np.float32))
+
+        def loss(m, p, ff):
+            out, _ = m.apply(p, ff, act)
+            return jnp.sum((out - tgt) ** 2)
+
+        gc_p, gc_f = jax.grad(lambda p, ff: loss(m_c, p, ff),
+                              argnums=(0, 1))(p_c, f)
+        gu_p, gu_f = jax.grad(lambda p, ff: loss(m_u, p, ff),
+                              argnums=(0, 1))(p_u, f)
+        for a, bb in zip(jax.tree_util.tree_leaves(gc_p),
+                         jax.tree_util.tree_leaves(gu_p)):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gc_f),
+                                   rtol=2e-3, atol=2e-3)
