@@ -54,19 +54,30 @@ _APPROX_MIN_N = int(_os.environ.get("LYFT3D_APPROX_MIN_N", 512))
 # guarantee assumes the true top-k spread ~uniformly across lanes, but
 # our keys are POINT INDICES and the in-radius neighbors of a center are
 # index-CLUSTERED in scan-/sort-ordered clouds — a cluster lands in one
-# PartialReduce bin and all but ~one member are lost (measured on v5e-1
-# at the (4096, 16384) k=32 stage-0 shape with sorted points: mean
-# recall 0.27 un-interleaved). Re-laying the keys as a
-# (n/g, g) -> (g, n/g) transpose (a layout op — NOT a serial gather)
-# spreads consecutive indices g·... lanes apart while the key VALUES
-# stay original indices, so the selected set is still the first-k by
-# index, restoring the uniform-spread assumption (same shape: recall
-# 1.000 interleaved; see scripts/measure_approx_recall.py).
+# PartialReduce bin and all but ~one member are lost. A (n/g, g) ->
+# (g, n/g) transpose (a layout op, values stay original indices) helps
+# contiguous clusters but NOT strided ones: measured on v5e-1 at the
+# (4096, 16384) k=32 stage-0 shape (scripts/measure_approx_recall.py,
+# interleaved): mean recall 0.95 uniform / 0.63 sorted / 0.19
+# scan-ordered. approx_min_k is therefore NOT trusted for ball-query
+# selection — the production ball query / RoI select dispatch to the
+# EXACT fused VMEM kernels (ops.select_kernel) on TPU instead, and this
+# approx path survives only as the fallback for shapes the fused
+# kernels cannot hold in VMEM.
 _INTERLEAVE_G = 128
+
+# Above this source-point count the fused kernels' (R, N) VMEM key tile
+# no longer fits (see ops/select_kernel.py _ROWS sizing note).
+_FUSED_MAX_N = 65536
 
 
 def _use_approx(n: int) -> bool:
     return jax.default_backend() == "tpu" and n >= _APPROX_MIN_N
+
+
+def _use_fused(n: int) -> bool:
+    return (jax.default_backend() == "tpu" and _APPROX_MIN_N <= n
+            <= _FUSED_MAX_N)
 
 
 def furthest_point_sample(points, valid, npoint: int):
@@ -234,7 +245,13 @@ def _first_k_true(mask, k: int):
 def ball_query(centers, points, valid, radius: float, nsample: int):
     """(S, 3) centers × (N, 3) points → (S, nsample) indices + (S,) counts
     (ball_query_gpu.cu capability: ≤ nsample points within radius, padded by
-    repeating the first hit)."""
+    repeating the first hit). Large TPU shapes run the EXACT fused VMEM
+    kernel (approx_min_k's recall collapses on index-clustered in-radius
+    sets — see the _INTERLEAVE_G note)."""
+    if _use_fused(points.shape[0]):
+        from lyft3d_tpu.ops.select_kernel import ball_query_fused
+
+        return ball_query_fused(centers, points, valid, radius, nsample)
     d2 = jnp.sum((centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)
     mask = (d2 < radius * radius) & valid[None, :]
     return _first_k_true(mask, nsample)
@@ -250,12 +267,21 @@ def multi_radius_ball_query(centers, points, valid, radii, nsamples):
     once and running only the per-radius mask + first-k selection again
     roughly halves the 2-radius cost. Returns [(idx, count), ...].
     """
-    # Measured note (v5e-1, batch 4, stage-0 shape): the fused VMEM kernel
-    # (ops.select_kernel.multi_radius_ball_query_fused) and this
-    # shared-d2 + approx_min_k formulation are within ~20% of each other
-    # (the k iterative extraction passes cost about what the HBM
-    # round-trips do); the approx path wins slightly, so it stays the
-    # default and the kernel remains an available alternate.
+    # Dispatch note (r5): the fused VMEM kernel and the shared-d2 +
+    # approx_min_k formulation measured within ~20% of each other at the
+    # stage-0 shape (v5e-1, batch 4), but approx_min_k's recall collapses
+    # on index-clustered in-radius sets (mean 0.19 on scan-ordered clouds
+    # at (4096, 16384) k=32 — scripts/measure_approx_recall.py), so the
+    # EXACT kernel is the TPU path and approx survives only beyond the
+    # kernel's VMEM bound.
+    if _use_fused(points.shape[0]):
+        from lyft3d_tpu.ops.select_kernel import (
+            multi_radius_ball_query_fused,
+        )
+
+        return multi_radius_ball_query_fused(
+            centers, points, valid, tuple(radii), tuple(nsamples)
+        )
     d2 = jnp.sum((centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)
     out = []
     for radius, nsample in zip(radii, nsamples):
@@ -426,9 +452,21 @@ def roi_pool3d(points, features, valid, boxes, num_sampled: int = 512,
     h = boxes[:, 5] + 2 * extra_width
     yaw = boxes[:, 6]
 
-    # (The fused in-box kernel ops.select_kernel.roi_inside_select_fused
-    # measured on par with this path at the (100, 16384) k=512 shape —
-    # k extraction passes dominate; it remains an available alternate.)
+    # The fused in-box kernel measured on par with this path at the
+    # (100, 16384) k=512 shape (k extraction passes dominate) and is
+    # EXACT, so it is the TPU path (the approx_min_k first-k here has the
+    # same clustered-index recall failure as ball query).
+    if _use_fused(points.shape[0]):
+        from lyft3d_tpu.ops.select_kernel import roi_inside_select_fused
+
+        idx, count = roi_inside_select_fused(
+            points, valid, boxes, num_sampled=num_sampled,
+            extra_width=extra_width,
+        )
+        feats_all = jnp.concatenate([points[:, :3], features], axis=-1)
+        pooled = feats_all[idx] * (count > 0)[:, None, None].astype(
+            feats_all.dtype)
+        return pooled, count, count == 0
     d = points[None, :, :3] - jnp.stack([x, y, z], -1)[:, None, :]
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     lx = c[:, None] * d[:, :, 0] + s[:, None] * d[:, :, 1]

@@ -16,6 +16,13 @@ STEPS = [60, 150, 300]
 
 
 def run_demo(script: str, steps: int, out: Path, extra=()) -> dict:
+    # FRESH work dir every time: the demos auto-resume from an existing
+    # model_dir (the torchplus checkpoint semantics), so a stale dir from
+    # an earlier sweep silently turns "train N steps" into "load the old
+    # checkpoint and eval" — which invalidated one r5 curve re-run.
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     cmd = [sys.executable, str(REPO / "scripts" / script),
            "--steps", str(steps), "--out", str(out), *extra]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
