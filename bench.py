@@ -40,7 +40,7 @@ ITERS = 4
 # The axon TPU tunnel wedges periodically (trivial ops hang for 10-60 min);
 # a wedged section must not eat the driver's whole window and print NOTHING.
 # A watchdog thread emits whatever metrics completed before the budget.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "600"))
 
 # Partial-result state shared with the watchdog (main() mutates in place).
 RESULT = {
